@@ -1,0 +1,251 @@
+"""Aggregate functions: the lift / combine / lower (+ optional invert) surface.
+
+Parity targets (reference, /root/reference):
+- core/.../windowFunction/AggregateFunction.java:6-58 (lift/combine/lower,
+  default liftAndCombine)
+- core/.../windowFunction/InvertibleAggregateFunction.java:3-15 (invert →
+  O(1) out-of-order removal; non-invertible functions recompute from the
+  slice's record buffer, AggregateValueState.java:33-48)
+- core/.../windowFunction/CloneablePartialStateFunction.java:3-11 (deep-copy
+  mutable partials before window-level merges)
+- demo functions: SumWindowFunction / MinWindowFunction / MaxWindowFunction
+  (flink-connector/.../demo/windowFunctions/*.java), QuantileWindowFunction +
+  QuantileTreeMap (exact streaming quantile over a value→count histogram).
+
+The transcript-payload aggregates (turn count, tool-call tally, per-role text
+rollup) are this engine's additions for the conversation-analytics workload.
+"""
+
+from __future__ import annotations
+
+import bisect
+from typing import Any, Generic, TypeVar
+
+In = TypeVar("In")
+P = TypeVar("P")
+Out = TypeVar("Out")
+
+
+class AggregateFunction(Generic[In, P, Out]):
+    """lift: In→P, combine: (P,P)→P, lower: P→Out.
+
+    ``invertible`` enables O(1) removal via ``invert``; ``cloneable``
+    signals a mutable partial that must be deep-copied before merging a
+    shared slice partial into a window result.
+    """
+
+    invertible: bool = False
+    cloneable: bool = False
+
+    def lift(self, element: In) -> P:
+        raise NotImplementedError
+
+    def combine(self, a: P, b: P) -> P:
+        raise NotImplementedError
+
+    def lower(self, partial: P) -> Out:
+        raise NotImplementedError
+
+    def lift_and_combine(self, partial: P, element: In) -> P:
+        return self.combine(partial, self.lift(element))
+
+    def invert(self, partial: P, to_remove: In) -> P:
+        raise NotImplementedError
+
+    def lift_and_invert(self, partial: P, to_remove: In) -> P:
+        return self.invert(partial, self.lift(to_remove))
+
+    def clone(self, partial: P) -> P:
+        return partial
+
+
+class ReduceAggregateFunction(AggregateFunction[In, In, In]):
+    """lift and lower are identity; only ``combine`` is user-defined.
+
+    Parity: core/.../windowFunction/ReduceAggregateFunction.java:4-16.
+    """
+
+    def lift(self, element: In) -> In:
+        return element
+
+    def lower(self, partial: In) -> In:
+        return partial
+
+
+class PyReduce(ReduceAggregateFunction):
+    """Adapter for test lambdas: ``PyReduce(lambda a, b: a + b)``."""
+
+    def __init__(self, fn, invertible: bool = False, invert_fn=None):
+        self._fn = fn
+        self.invertible = invertible
+        self._invert_fn = invert_fn
+
+    def combine(self, a, b):
+        return self._fn(a, b)
+
+    def invert(self, partial, to_remove):
+        return self._invert_fn(partial, to_remove)
+
+
+class SumAggregation(ReduceAggregateFunction):
+    invertible = True
+
+    def combine(self, a, b):
+        return a + b
+
+    def invert(self, partial, to_remove):
+        return partial - to_remove
+
+
+class CountAggregation(AggregateFunction[Any, int, int]):
+    invertible = True
+
+    def lift(self, element):
+        return 1
+
+    def combine(self, a, b):
+        return a + b
+
+    def lower(self, partial):
+        return partial
+
+    def invert(self, partial, to_remove):
+        return partial - to_remove
+
+
+class MinAggregation(ReduceAggregateFunction):
+    def combine(self, a, b):
+        return a if a <= b else b
+
+
+class MaxAggregation(ReduceAggregateFunction):
+    def combine(self, a, b):
+        return a if a >= b else b
+
+
+class MeanAggregation(AggregateFunction[float, tuple, float]):
+    invertible = True
+
+    def lift(self, element):
+        return (element, 1)
+
+    def combine(self, a, b):
+        return (a[0] + b[0], a[1] + b[1])
+
+    def lower(self, partial):
+        return partial[0] / partial[1] if partial[1] else None
+
+    def invert(self, partial, to_remove):
+        return (partial[0] - to_remove[0], partial[1] - to_remove[1])
+
+
+class QuantileAggregation(AggregateFunction[float, dict, float]):
+    """Exact streaming quantile over a value→count histogram partial.
+
+    Functional analogue of QuantileWindowFunction + QuantileTreeMap
+    (flink-connector/.../demo/windowFunctions/QuantileTreeMap.java:6-155):
+    mutable dict partial, hence cloneable.
+    """
+
+    cloneable = True
+    invertible = True
+
+    def __init__(self, q: float = 0.5):
+        self.q = q
+
+    def lift(self, element):
+        return {element: 1}
+
+    def combine(self, a, b):
+        for v, c in b.items():
+            a[v] = a.get(v, 0) + c
+        return a
+
+    def invert(self, partial, to_remove):
+        for v, c in to_remove.items():
+            nc = partial.get(v, 0) - c
+            if nc <= 0:
+                partial.pop(v, None)
+            else:
+                partial[v] = nc
+        return partial
+
+    def clone(self, partial):
+        return dict(partial)
+
+    def lower(self, partial):
+        total = sum(partial.values())
+        if total == 0:
+            return None
+        target = max(1, int(round(self.q * total)))
+        seen = 0
+        for v in sorted(partial):
+            seen += partial[v]
+            if seen >= target:
+                return v
+        return None
+
+
+class ToolTallyAggregation(AggregateFunction[Any, dict, dict]):
+    """Per-window tally of tool-call turns, keyed by tool name.
+
+    Transcript payload aggregate (BASELINE.json north_star): counts
+    non-null ``tool`` values. Invertible (per-entry subtraction).
+    """
+
+    cloneable = True
+    invertible = True
+
+    def lift(self, element):
+        tool = element.get("tool") if isinstance(element, dict) else None
+        return {tool: 1} if tool else {}
+
+    def combine(self, a, b):
+        for k, v in b.items():
+            a[k] = a.get(k, 0) + v
+        return a
+
+    def invert(self, partial, to_remove):
+        for k, v in to_remove.items():
+            nv = partial.get(k, 0) - v
+            if nv <= 0:
+                partial.pop(k, None)
+            else:
+                partial[k] = nv
+        return partial
+
+    def clone(self, partial):
+        return dict(partial)
+
+    def lower(self, partial):
+        return dict(sorted(partial.items()))
+
+
+class RoleTextRollup(AggregateFunction[Any, list, dict]):
+    """Per-role text rollup ordered by ``turn_idx``.
+
+    Partial: sorted list of (turn_idx, role, text); lower() groups by role
+    preserving turn order — satisfies the "per-turn text equality under
+    stable turn_idx ordering" invariant. Associative but not invertible
+    (removal recomputes from the slice record buffer, like the reference's
+    non-invertible path, AggregateValueState.java:40-48).
+    """
+
+    cloneable = True
+
+    def lift(self, element):
+        return [(element["turn_idx"], element["role"], element["text"])]
+
+    def combine(self, a, b):
+        for item in b:
+            bisect.insort(a, item)
+        return a
+
+    def clone(self, partial):
+        return list(partial)
+
+    def lower(self, partial):
+        out: dict = {}
+        for _, role, text in sorted(partial):
+            out.setdefault(role, []).append(text)
+        return out

@@ -1,0 +1,603 @@
+"""Pure-Python per-key general stream-slicing kernel.
+
+This is the semantics core of the engine: it partitions one key's stream
+into non-overlapping slices, keeps one partial aggregate per slice per
+aggregate function, and on watermark advance assembles every triggered
+window instance by combining the partial aggregates of the slices it
+covers — sharing every slice across all concurrent windows ("general
+stream slicing", ICDE'18 / EDBT'19).
+
+It has **no Spark dependency**: the Spark layers
+(``streaming.processor`` for Structured Streaming state,
+``plans.scotty_batch`` for batch ``applyInPandas``) drive one kernel per
+key group. Running kernel-only keeps the ported reference unit suites
+sub-second under ``pytest``.
+
+Behaviour parity targets (reference, /root/reference — semantics only, the
+implementation below is new):
+- slicing/.../StreamSlicer.java:36-141        (slice-edge decisions; the
+  first-edge initialisation relies on Java 64-bit wrap-around, reproduced
+  here via ``wrap64``)
+- slicing/.../SliceManager.java:27-155        (in/out-of-order insert,
+  session slice surgery: split / move / merge, count-measure ripple)
+- slicing/.../WindowManager.java:40-143       (watermark trigger + eviction,
+  maxLateness default 1000)
+- slicing/.../aggregationstore/LazyAggregateStore.java:14-145 (slice store)
+- slicing/.../state/AggregateState.java, AggregateValueState.java
+  (partial-aggregate vector, invert-vs-recompute)
+- slicing/.../slice/AbstractSlice.java, EagerSlice.java, LazySlice.java,
+  SliceFactory.java:17-22 (records kept only when a count window exists)
+
+Two deliberate divergences from the reference (both latent reference bugs
+that its tests never reach, documented in tests/test_kernel_divergences.py):
+1. the record buffer is a stable sorted *list*, so same-timestamp records
+   are retained (the reference's TreeSet silently drops them);
+2. merging two slices merges their record buffers (the reference drops the
+   right slice's buffer, breaking later recomputes).
+"""
+
+from __future__ import annotations
+
+import bisect
+from typing import Any, List, Optional, Sequence
+
+from ..functions import AggregateFunction
+from .windows import (
+    JLONG_MAX,
+    JLONG_MIN,
+    AddModification,
+    DeleteModification,
+    SessionContext,
+    SessionWindow,
+    ShiftModification,
+    Window,
+    WindowMeasure,
+    wrap64,
+)
+
+
+class SliceType:
+    """End-edge kind of a slice: Fixed (window edge) vs Flexible (session)."""
+
+    __slots__ = ()
+    movable = False
+
+
+class Fixed(SliceType):
+    __slots__ = ()
+    movable = False
+
+
+class Flexible(SliceType):
+    """Session edge shared by ``count`` session contexts; movable iff 1."""
+
+    __slots__ = ("count",)
+
+    def __init__(self, count: int = 1):
+        self.count = count
+
+    @property
+    def movable(self) -> bool:
+        return self.count == 1
+
+
+class AggregateState:
+    """One partial aggregate per registered function.
+
+    ``records`` (optional, shared with the owning slice) feeds the
+    recompute path for non-invertible functions.
+    """
+
+    __slots__ = ("functions", "partials", "present", "records")
+
+    def __init__(self, functions: Sequence[AggregateFunction], records: Optional[list] = None):
+        self.functions = list(functions)
+        self.partials: List[Any] = [None] * len(self.functions)
+        self.present = [False] * len(self.functions)
+        self.records = records
+
+    def add_element(self, element: Any) -> None:
+        for i, fn in enumerate(self.functions):
+            if not self.present[i] or self.partials[i] is None:
+                self.partials[i] = fn.lift(element)
+                self.present[i] = True
+            else:
+                self.partials[i] = fn.lift_and_combine(self.partials[i], element)
+
+    def remove_element(self, element: Any) -> None:
+        for i, fn in enumerate(self.functions):
+            if fn.invertible:
+                self.partials[i] = fn.lift_and_invert(self.partials[i], element)
+            else:
+                self._recompute(i)
+
+    def _recompute(self, i: int) -> None:
+        assert self.records is not None, "recompute needs a record buffer"
+        fn = self.functions[i]
+        self.partials[i] = None
+        self.present[i] = False
+        for _, element in self.records:
+            if not self.present[i]:
+                self.partials[i] = fn.lift(element)
+                self.present[i] = True
+            else:
+                self.partials[i] = fn.lift_and_combine(self.partials[i], element)
+
+    def merge(self, other: "AggregateState") -> None:
+        if len(other.functions) > len(self.functions):
+            return
+        for i in range(len(other.functions)):
+            fn = self.functions[i]
+            if not self.present[i] and other.present[i]:
+                value = other.partials[i]
+                if fn.cloneable:
+                    value = fn.clone(value)
+                self.partials[i] = value
+                self.present[i] = True
+            elif other.present[i]:
+                self.partials[i] = fn.combine(self.partials[i], other.partials[i])
+
+    @property
+    def has_values(self) -> bool:
+        return any(self.present)
+
+    def values(self) -> List[Any]:
+        return [
+            self.functions[i].lower(self.partials[i])
+            for i in range(len(self.functions))
+            if self.present[i] and self.partials[i] is not None
+        ]
+
+
+class Slice:
+    """Non-overlapping stream segment ``[t_start, t_end)``.
+
+    Tracks boundary timestamps, first/last record timestamps actually seen,
+    running record counts, an end-edge type, partial aggregates, and — only
+    when a count-measure window is registered — the raw record buffer
+    (sorted by ts) needed for count ripple and recomputes.
+    """
+
+    __slots__ = ("t_start", "t_end", "type", "t_last", "t_first", "c_start", "c_last", "agg_state", "records")
+
+    def __init__(
+        self,
+        functions: Sequence[AggregateFunction],
+        start_ts: int,
+        end_ts: int,
+        c_start: int,
+        c_last: int,
+        type_: SliceType,
+        keep_records: bool,
+    ):
+        self.t_start = start_ts
+        self.t_end = end_ts
+        self.t_last = start_ts
+        self.t_first = JLONG_MAX
+        self.c_start = c_start
+        self.c_last = c_last
+        self.type = type_
+        self.records: Optional[list] = [] if keep_records else None
+        self.agg_state = AggregateState(functions, self.records)
+
+    def add_element(self, element: Any, ts: int) -> None:
+        self.t_last = max(self.t_last, ts)
+        self.t_first = min(self.t_first, ts)
+        self.c_last += 1
+        self.agg_state.add_element(element)
+        if self.records is not None:
+            bisect.insort(self.records, (ts, element), key=lambda r: r[0])
+
+    def drop_last_element(self) -> tuple:
+        """Remove and return the max-ts record (count-ripple support)."""
+        record = self.records.pop()
+        self.agg_state.remove_element(record[1])
+        self.c_last -= 1
+        if self.records:
+            self.t_last = self.records[-1][0]
+        return record
+
+    def prepend_element(self, record: tuple) -> None:
+        self.add_element(record[1], record[0])
+
+    def merge(self, other: "Slice") -> None:
+        self.t_last = max(self.t_last, other.t_last)
+        self.t_first = min(self.t_first, other.t_first)
+        self.t_end = max(self.t_end, other.t_end)
+        if self.records is not None and other.records:
+            for rec in other.records:
+                bisect.insort(self.records, rec, key=lambda r: r[0])
+        self.agg_state.merge(other.agg_state)
+
+    def __repr__(self) -> str:  # debugging aid
+        return (
+            f"Slice[{self.t_start},{self.t_end}) tFirst={self.t_first} tLast={self.t_last} "
+            f"c=[{self.c_start},{self.c_last}] {type(self.type).__name__}"
+        )
+
+
+class WindowResult:
+    """A triggered window instance plus its assembled aggregate."""
+
+    __slots__ = ("window_id", "start", "end", "measure", "agg_state")
+
+    def __init__(self, window_id: int, start: int, end: int, measure: WindowMeasure, functions):
+        self.window_id = window_id
+        self.start = start
+        self.end = end
+        self.measure = measure
+        self.agg_state = AggregateState(functions)
+
+    def contains_slice(self, s: Slice) -> bool:
+        if self.measure == WindowMeasure.TIME:
+            return self.start <= s.t_start and self.end > s.t_last
+        return self.start <= s.c_start and self.end >= s.c_last
+
+    @property
+    def has_value(self) -> bool:
+        return self.agg_state.has_values
+
+    def agg_values(self) -> List[Any]:
+        return self.agg_state.values()
+
+    def __repr__(self) -> str:
+        return f"WindowResult({self.measure.value},{self.start}-{self.end},{self.agg_values() if self.has_value else '∅'})"
+
+
+class _Collector:
+    __slots__ = ("windows", "functions")
+
+    def __init__(self, functions):
+        self.windows: List[WindowResult] = []
+        self.functions = functions
+
+    def trigger(self, window_id: int, start: int, end: int, measure: WindowMeasure) -> None:
+        self.windows.append(WindowResult(window_id, start, end, measure, self.functions))
+
+
+class SliceStore:
+    """Ordered in-memory slice list with interval/count lookups."""
+
+    __slots__ = ("slices",)
+
+    def __init__(self):
+        self.slices: List[Slice] = []
+
+    # lookup helpers -------------------------------------------------------
+    def find_index_by_ts(self, ts: int) -> int:
+        """Last index whose t_start <= ts, else -1 (starts are sorted)."""
+        starts = self.slices
+        lo, hi = 0, len(starts)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if starts[mid].t_start <= ts:
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo - 1
+
+    def find_index_by_count(self, count: int) -> int:
+        """Last index whose c_start <= count, else -1."""
+        for i in range(len(self.slices) - 1, -1, -1):
+            if self.slices[i].c_start <= count:
+                return i
+        return -1
+
+    def find_index_by_end(self, end_ts: int) -> int:
+        for i in range(len(self.slices) - 1, -1, -1):
+            if self.slices[i].t_end == end_ts:
+                return i
+        return -1
+
+    # mutation -------------------------------------------------------------
+    def append(self, s: Slice) -> None:
+        self.slices.append(s)
+
+    def insert(self, index: int, s: Slice) -> None:
+        self.slices.insert(index, s)
+
+    def merge_at(self, index: int) -> None:
+        self.slices[index].merge(self.slices[index + 1])
+        del self.slices[index + 1]
+
+    def evict_before(self, max_timestamp: int) -> None:
+        index = self.find_index_by_ts(max_timestamp - 1)
+        if index <= 0:
+            return
+        del self.slices[0:index]
+
+    # window assembly ------------------------------------------------------
+    def aggregate(self, windows: List[WindowResult], min_ts: int, max_ts: int, min_count: int, max_count: int) -> None:
+        """The aggregate-sharing join of slices × triggered windows.
+
+        Scans only the slice envelope covering all triggered windows and
+        merges each covered slice's partials into every window containing
+        it (parity: LazyAggregateStore.java:81-99)."""
+        start = max(self.find_index_by_ts(min_ts), 0)
+        start = min(start, self.find_index_by_count(min_count))
+        end = min(len(self.slices) - 1, self.find_index_by_ts(max_ts))
+        end = max(end, self.find_index_by_count(max_count))
+        for i in range(start, end + 1):
+            s = self.slices[i]
+            for w in windows:
+                if w.contains_slice(s):
+                    w.agg_state.merge(s.agg_state)
+
+    @property
+    def is_empty(self) -> bool:
+        return not self.slices
+
+    def __len__(self) -> int:
+        return len(self.slices)
+
+    def __getitem__(self, i: int) -> Slice:
+        return self.slices[i]
+
+
+class SlicingWindowOperator:
+    """Single-key slicing window operator: the full kernel facade.
+
+    Usage (mirrors the reference unit-test entry point EP2):
+
+        op = SlicingWindowOperator()
+        op.add_aggregation(SumAggregation())
+        op.add_window(TumblingWindow(WindowMeasure.TIME, 10))
+        op.process_element(value, ts)
+        results = op.process_watermark(wm)   # -> List[WindowResult]
+    """
+
+    def __init__(self, max_lateness: int = 1000):
+        self.store = SliceStore()
+        self.functions: List[AggregateFunction] = []
+        self.context_free: List[Window] = []
+        self.contexts: List[SessionContext] = []
+        self.has_fixed_windows = False
+        self.has_count_measure = False
+        self.has_time_measure = False
+        self.max_fixed_window_size = 0
+        self.max_lateness = max_lateness
+        self.last_watermark = -1
+        self.last_count = 0
+        self.current_count = 0
+        # stream-slicer state
+        self._max_event_time = JLONG_MIN
+        self._min_next_edge_ts = JLONG_MIN
+        self._min_next_edge_count = JLONG_MIN
+
+    # -- configuration -------------------------------------------------------
+    def add_aggregation(self, fn: AggregateFunction) -> None:
+        self.functions.append(fn)
+
+    def add_window(self, window: Window) -> None:
+        """Register a window; supports dynamic addition mid-stream."""
+        if window.is_context_free:
+            self.context_free.append(window)
+            self.max_fixed_window_size = max(self.max_fixed_window_size, window.clear_delay())
+            self.has_fixed_windows = True
+        elif isinstance(window, SessionWindow):
+            self.contexts.append(window.create_context())
+        if window.measure == WindowMeasure.COUNT:
+            self.has_count_measure = True
+        else:
+            self.has_time_measure = True
+
+    @property
+    def has_context_aware(self) -> bool:
+        return bool(self.contexts)
+
+    # -- element path ---------------------------------------------------------
+    def process_element(self, element: Any, ts: int) -> None:
+        self._determine_slices(ts)
+        self._insert_element(element, ts)
+
+    # stream slicer: decide whether the incoming ts closes the current slice
+    # and opens new one(s). Parity: StreamSlicer.java:36-86.
+    def _determine_slices(self, te: int) -> None:
+        if self.has_count_measure:
+            if self._min_next_edge_count == JLONG_MIN or self.current_count == self._min_next_edge_count:
+                if self._max_event_time == JLONG_MIN:
+                    self._max_event_time = te
+                self._append_slice(self._max_event_time, Fixed())
+                self._min_next_edge_count = self._next_fixed_edge_count()
+
+        if self.has_time_measure and te >= self._max_event_time:  # in-order only
+            if self.has_fixed_windows and self._min_next_edge_ts == JLONG_MIN:
+                self._min_next_edge_ts = self._next_fixed_edge(te)
+
+            flex_count = 0
+            if self.has_context_aware:
+                flex_count = self._next_flex_edge_count(te)
+
+            while self.has_fixed_windows and te > self._min_next_edge_ts:
+                if self._min_next_edge_ts >= 0:
+                    self._append_slice(self._min_next_edge_ts, Fixed())
+                self._min_next_edge_ts = self._next_fixed_edge(te)
+
+            if self._min_next_edge_ts == te:
+                self._append_slice(te, Fixed())
+                self._min_next_edge_ts = self._next_fixed_edge(te)
+            elif flex_count > 0:
+                self._append_slice(te, Flexible(flex_count))
+
+        self.current_count += 1
+        self._max_event_time = max(te, self._max_event_time)
+
+    def _next_fixed_edge_count(self) -> int:
+        current_min = 0 if self._min_next_edge_count == JLONG_MIN else self._min_next_edge_count
+        t_c = max(self.current_count, current_min)
+        edge = JLONG_MAX
+        for w in self.context_free:
+            if w.measure == WindowMeasure.COUNT:
+                edge = min(edge, wrap64(w.assign_next_window_start(t_c)))
+        return edge
+
+    def _next_fixed_edge(self, te: int) -> int:
+        # The first call sees the JLONG_MAX sentinel and Java wrap-around
+        # makes the edge hugely negative; the caller's while-loop then walks
+        # edges up from max(te - max_lateness, prev_edge), appending only
+        # edges >= 0. wrap64 reproduces this observable behaviour exactly.
+        current_min = JLONG_MAX if self._min_next_edge_ts == JLONG_MIN else self._min_next_edge_ts
+        t_c = max(te - self.max_lateness, current_min)
+        edge = JLONG_MAX
+        for w in self.context_free:
+            if w.measure == WindowMeasure.TIME:
+                edge = min(edge, wrap64(w.assign_next_window_start(t_c)))
+        return edge
+
+    def _next_flex_edge_count(self, te: int) -> int:
+        t_c = max(self._max_event_time, self._min_next_edge_ts)
+        return sum(1 for ctx in self.contexts if te >= wrap64(ctx.assign_next_window_start(t_c)))
+
+    # slice manager: append / insert / surgery. Parity: SliceManager.java.
+    def _new_slice(self, start_ts: int, end_ts: int, c_start: int, c_last: int, type_: SliceType) -> Slice:
+        # records are buffered only when a count-measure window exists
+        # (SliceFactory.java:17-22: lazy slices cost memory; eager slices
+        # keep partials only)
+        return Slice(self.functions, start_ts, end_ts, c_start, c_last, type_, self.has_count_measure)
+
+    def _append_slice(self, start_ts: int, type_: SliceType) -> None:
+        if not self.store.is_empty:
+            current = self.store[len(self.store) - 1]
+            current.t_end = start_ts
+            current.type = type_
+        self.store.append(self._new_slice(start_ts, JLONG_MAX, self.current_count, self.current_count, Flexible()))
+
+    def _insert_element(self, element: Any, ts: int) -> None:
+        if self.store.is_empty:
+            self._append_slice(0, Flexible())
+
+        current = self.store[len(self.store) - 1]
+        if ts >= current.t_last:
+            # in-order: slice edges already created by _determine_slices;
+            # session context updates need no slice surgery here
+            current.add_element(element, ts)
+            mods: List = []
+            for ctx in self.contexts:
+                ctx.update_context(ts, mods)
+            return
+
+        # out-of-order: session surgery first, then indexed insert
+        for ctx in self.contexts:
+            mods = []
+            ctx.update_context(ts, mods)
+            self._apply_slice_edge_mods(mods)
+
+        index = self.store.find_index_by_ts(ts)
+        if index == -1:
+            self.store[0].add_element(element, ts)
+            return
+        self.store[index].add_element(element, ts)
+
+        if self.has_count_measure:
+            # ripple the displaced last element of each slice into the next
+            # (count windows are positional: SliceManager.java:82-90)
+            while index <= len(self.store) - 2:
+                record = self.store[index].drop_last_element()
+                self.store[index + 1].prepend_element(record)
+                index += 1
+
+    def _apply_slice_edge_mods(self, mods: List) -> None:
+        """Mirror session boundary changes as slice surgery.
+
+        Parity: SliceManager.checkSliceEdges (SliceManager.java:94-146),
+        including its early ``return`` (not continue) on missing edges."""
+        for mod in mods:
+            if isinstance(mod, ShiftModification):
+                index = self.store.find_index_by_end(mod.pre)
+                if index == -1:
+                    return
+                s = self.store[index]
+                if s.type.movable:
+                    nxt = self.store[index + 1]
+                    s.t_end = mod.post
+                    nxt.t_start = mod.post
+                else:
+                    if isinstance(s.type, Flexible):
+                        s.type.count -= 1
+                    self._split_slice(index, mod.post)
+            elif isinstance(mod, DeleteModification):
+                index = self.store.find_index_by_end(mod.pre)
+                if index >= 0:
+                    s = self.store[index]
+                    if s.type.movable:
+                        self.store.merge_at(index)
+                    elif isinstance(s.type, Flexible):
+                        s.type.count -= 1
+            elif isinstance(mod, AddModification):
+                index = self.store.find_index_by_ts(mod.post)
+                if index == -1:
+                    return
+                s = self.store[index]
+                if s.t_start != mod.post and s.t_end != mod.post:
+                    self._split_slice(index, mod.post)
+
+    def _split_slice(self, index: int, ts: int) -> None:
+        left = self.store[index]
+        right = self._new_slice(ts, left.t_end, left.c_start, left.c_last, left.type)
+        left.t_end = ts
+        left.type = Flexible()
+        self.store.insert(index + 1, right)
+
+    # -- watermark path --------------------------------------------------------
+    def process_watermark(self, watermark_ts: int) -> List[WindowResult]:
+        """Emit every window instance that ended before the watermark.
+
+        Parity: WindowManager.processWatermark (WindowManager.java:40-79)
+        including first-watermark initialisation and slice eviction."""
+        if self.last_watermark == -1:
+            self.last_watermark = max(0, watermark_ts - self.max_lateness)
+
+        if self.store.is_empty:
+            self.last_watermark = watermark_ts
+            return []
+
+        oldest_start = self.store[0].t_start
+        if self.last_watermark < oldest_start:
+            self.last_watermark = oldest_start
+
+        collector = _Collector(self.functions)
+        self._trigger_context_free(watermark_ts, collector)
+        for ctx in self.contexts:
+            ctx.trigger_windows(collector, self.last_watermark, watermark_ts)
+
+        min_ts, max_ts = JLONG_MAX, 0
+        min_count, max_count = self.current_count, 0
+        for w in collector.windows:
+            if w.measure == WindowMeasure.TIME:
+                min_ts = min(w.start, min_ts)
+                max_ts = max(w.end, max_ts)
+            else:
+                min_count = min(w.start, min_count)
+                max_count = max(w.end, max_count)
+
+        if collector.windows:
+            self.store.aggregate(collector.windows, min_ts, max_ts, min_count, max_count)
+
+        self.last_watermark = watermark_ts
+        self.last_count = max(max_count, self.last_count)
+        self._evict(watermark_ts - self.max_lateness)
+        return collector.windows
+
+    def _trigger_context_free(self, watermark_ts: int, collector: _Collector) -> None:
+        for w in self.context_free:
+            if w.measure == WindowMeasure.TIME:
+                w.trigger_windows(collector, self.last_watermark, watermark_ts)
+            else:
+                # translate the time watermark into a count horizon via the
+                # slice containing it (WindowManager.java:105-119)
+                index = self.store.find_index_by_ts(watermark_ts)
+                if index == -1:
+                    continue
+                s = self.store[index]
+                if s.t_last >= watermark_ts:
+                    if index == 0:
+                        continue
+                    s = self.store[index - 1]
+                w.trigger_windows(collector, self.last_count, s.c_last + 1)
+
+    def _evict(self, current_watermark: int) -> None:
+        max_delay = self.max_fixed_window_size
+        for ctx in self.contexts:
+            for w in ctx.active_windows:
+                max_delay = max(max_delay, w.start)
+        self.store.evict_before(current_watermark - max_delay)

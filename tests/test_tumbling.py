@@ -1,0 +1,159 @@
+"""Port of the reference tumbling-window suite (1:1 element sequences and
+expected values): slicing/src/test/.../windowTest/TumblingWindowOperatorTest.java:25-254.
+"""
+
+import pytest
+
+from scotty_window_processor_spark.functions import PyReduce
+from scotty_window_processor_spark.operators import (
+    SlicingWindowOperator,
+    TumblingWindow,
+    WindowMeasure,
+)
+
+SUM = lambda: PyReduce(lambda a, b: a + b)
+
+
+@pytest.fixture
+def op():
+    o = SlicingWindowOperator()
+    o.add_aggregation(SUM())
+    return o
+
+
+def values(results):
+    return [w.agg_values()[0] if w.has_value else None for w in results]
+
+
+def test_in_order(op):
+    op.add_window(TumblingWindow(WindowMeasure.TIME, 10))
+    for v, ts in [(1, 1), (2, 19), (3, 29), (4, 39), (5, 49)]:
+        op.process_element(v, ts)
+
+    r = op.process_watermark(22)
+    assert values(r) == [1, 2]
+
+    r = op.process_watermark(55)
+    assert values(r) == [3, 4, 5]
+
+
+def test_in_order_2_empty_window(op):
+    op.add_window(TumblingWindow(WindowMeasure.TIME, 10))
+    for v, ts in [(1, 0), (2, 0), (3, 20), (4, 30), (5, 40)]:
+        op.process_element(v, ts)
+
+    r = op.process_watermark(22)
+    assert r[0].agg_values()[0] == 3
+    assert not r[1].has_value
+
+    r = op.process_watermark(55)
+    assert values(r) == [3, 4, 5]
+
+
+def test_in_order_two_windows(op):
+    op.add_window(TumblingWindow(WindowMeasure.TIME, 10))
+    op.add_window(TumblingWindow(WindowMeasure.TIME, 20))
+    for v, ts in [(1, 1), (2, 19), (3, 29), (4, 39), (5, 49)]:
+        op.process_element(v, ts)
+
+    r = op.process_watermark(22)
+    assert values(r) == [1, 2, 3]
+
+    r = op.process_watermark(55)
+    assert values(r) == [3, 4, 5, 7]
+
+
+def test_in_order_two_windows_dynamic(op):
+    op.add_window(TumblingWindow(WindowMeasure.TIME, 10))
+    op.process_element(1, 1)
+    op.process_element(2, 19)
+    op.add_window(TumblingWindow(WindowMeasure.TIME, 20))
+    op.process_element(3, 29)
+    op.process_element(4, 39)
+    op.process_element(5, 49)
+
+    r = op.process_watermark(22)
+    assert values(r) == [1, 2, 3]
+
+    r = op.process_watermark(55)
+    assert values(r) == [3, 4, 5, 7]
+
+
+def test_in_order_two_windows_dynamic_2(op):
+    op.add_window(TumblingWindow(WindowMeasure.TIME, 20))
+    op.process_element(1, 1)
+    op.process_element(2, 19)
+
+    r = op.process_watermark(22)
+    assert r[0].agg_values()[0] == 3
+
+    op.add_window(TumblingWindow(WindowMeasure.TIME, 10))
+    op.process_element(3, 29)
+    op.process_element(4, 39)
+    op.process_element(5, 49)
+
+    r = op.process_watermark(55)
+    assert r[0].agg_values()[0] == 7
+    assert r[1].agg_values()[0] == 3
+    assert r[2].agg_values()[0] == 4
+    assert r[3].agg_values()[0] == 5
+
+
+def test_out_of_order(op):
+    op.add_window(TumblingWindow(WindowMeasure.TIME, 10))
+    for v, ts in [(1, 1), (1, 30), (1, 20), (1, 23), (1, 25), (1, 45)]:
+        op.process_element(v, ts)
+
+    r = op.process_watermark(22)
+    assert r[0].agg_values()[0] == 1
+    assert not r[1].has_value
+
+    r = op.process_watermark(55)
+    assert values(r) == [3, 1, 1]
+
+
+def test_in_order_count(op):
+    op.add_window(TumblingWindow(WindowMeasure.COUNT, 3))
+    for v, ts in [(1, 1), (1, 19), (1, 29), (2, 39), (2, 49), (2, 50), (1, 51)]:
+        op.process_element(v, ts)
+
+    r = op.process_watermark(55)
+    assert values(r) == [3, 6]
+
+
+def test_out_of_order_count(op):
+    op.add_window(TumblingWindow(WindowMeasure.COUNT, 3))
+    for v, ts in [(1, 1), (1, 19), (1, 29), (2, 39), (2, 10), (2, 50), (1, 51)]:
+        op.process_element(v, ts)
+
+    r = op.process_watermark(55)
+    assert values(r) == [4, 5]
+
+
+def test_out_of_order_count_2_multi_window_multi_fn(op):
+    op.add_aggregation(PyReduce(lambda a, b: a - b))
+    op.add_window(TumblingWindow(WindowMeasure.COUNT, 3))
+    op.add_window(TumblingWindow(WindowMeasure.COUNT, 5))
+    for v, ts in [(1, 1), (1, 19), (1, 29), (2, 39), (1, 41), (2, 10), (2, 50), (1, 51), (3, 52)]:
+        op.process_element(v, ts)
+
+    r = op.process_watermark(55)
+    assert r[0].agg_values()[0] == 4
+    assert r[1].agg_values()[0] == 4
+    assert r[2].agg_values()[0] == 6
+    assert r[3].agg_values()[0] == 7
+
+
+def test_out_of_order_count_3_mid_stream_watermark(op):
+    op.add_window(TumblingWindow(WindowMeasure.COUNT, 3))
+    op.add_window(TumblingWindow(WindowMeasure.COUNT, 5))
+    for v, ts in [(1, 1), (1, 19), (1, 29), (2, 39), (1, 41), (2, 10)]:
+        op.process_element(v, ts)
+
+    r = op.process_watermark(30)
+    assert r[0].agg_values()[0] == 4
+
+    op.process_element(2, 50)
+    op.process_element(1, 51)
+    op.process_element(3, 52)
+    op.process_watermark(55)  # reference asserts nothing here; must not raise
