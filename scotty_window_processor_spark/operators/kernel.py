@@ -50,8 +50,10 @@ from .windows import (
     SessionContext,
     SessionWindow,
     ShiftModification,
+    SlidingWindow,
     Window,
     WindowMeasure,
+    jmod,
     wrap64,
 )
 
@@ -462,9 +464,24 @@ class SlicingWindowOperator:
             current.type = type_
         self.store.append(self._new_slice(start_ts, JLONG_MAX, self.current_count, self.current_count, Flexible()))
 
+    def _first_slice_start(self, ts: int) -> int:
+        """Start of the bootstrap slice when no edge preceded the first
+        element. The reference hard-codes 0 (SliceManager.java:49-50),
+        which only works for near-zero test timestamps: with epoch-scale
+        ts no window instance would ever satisfy `w.start <= slice.t_start`
+        and the first slice's records would silently drop out of every
+        window. The largest fixed-window edge <= ts is the tightest start
+        that every window containing ts also contains."""
+        start = 0
+        for w in self.context_free:
+            if w.measure == WindowMeasure.TIME:
+                grid = w.slide if isinstance(w, SlidingWindow) else w.size
+                start = max(start, ts - jmod(ts, grid))
+        return start
+
     def _insert_element(self, element: Any, ts: int) -> None:
         if self.store.is_empty:
-            self._append_slice(0, Flexible())
+            self._append_slice(self._first_slice_start(ts), Flexible())
 
         current = self.store[len(self.store) - 1]
         if ts >= current.t_last:
@@ -537,6 +554,17 @@ class SlicingWindowOperator:
         left.t_end = ts
         left.type = Flexible()
         self.store.insert(index + 1, right)
+
+    def seed_watermark(self, watermark_ts: int) -> None:
+        """Pin the initial lastWatermark (batch/stream adapters call this
+        with min event ts − 1). Without it the first process_watermark
+        initialises lastWatermark = wm − max_lateness (reference
+        WindowManager.java:42-43), silently skipping windows older than
+        the lateness bound — correct for an always-on stream, wrong for a
+        bounded batch flushed by one final watermark. Seeding with 0 would
+        instead enumerate every window instance since the epoch."""
+        if self.last_watermark == -1:
+            self.last_watermark = watermark_ts
 
     # -- watermark path --------------------------------------------------------
     def process_watermark(self, watermark_ts: int) -> List[WindowResult]:

@@ -1,0 +1,91 @@
+"""Relational coverage queries over the TPC-H-ish test tables.
+
+The reference has no relational layer at all (SURVEY.md §2.3) — these
+queries demonstrate the engine-side coverage Spark gives for free and pin
+the physical plans we want at 100 TB:
+
+- scans with pushed filters + pruned columns (check .explain:
+  PushedFilters / ReadSchema),
+- broadcast hash joins for dimension tables (nation/region/customer),
+- partial+final hash aggregation,
+- a ts-range interval self-join (the batch shape of the stream-stream
+  "stateful join" in streaming/join.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shaped scan + filter + partial/final aggregation."""
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def revenue_by_nation(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """Fact-dim joins: nation and customer are broadcast (dims are tiny at
+    every SF; the fact side never shuffles for the join)."""
+    return (
+        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def interval_self_join(events: DataFrame, window_ms: int = 3_600_000) -> DataFrame:
+    """For each error event, count same-user purchases within the next
+    hour: the batch expression of a stream-stream interval join (both
+    sides shuffle once on user_id; the range predicate is evaluated
+    post-join JVM-side; in streaming the same predicate bounds state)."""
+    err = events.where(F.col("event_type") == "error").select(
+        F.col("user_id"), F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    pur = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("ts").alias("pur_ts"), F.col("value").alias("pur_value")
+    )
+    joined = err.join(
+        pur,
+        (err["user_id"] == pur["user_id"])
+        & (pur["pur_ts"] > err["err_ts"])
+        & (pur["pur_ts"] <= F.timestamp_millis(F.unix_millis(err["err_ts"]) + window_ms)),
+        "left",
+    )
+    return (
+        joined.groupBy(err["user_id"].alias("user_id"), "err_id")
+        .agg(
+            F.count(F.col("pur_ts")).alias("n_purchases"),
+            F.round(F.coalesce(F.sum("pur_value"), F.lit(0.0)), 2).alias("purchase_value"),
+        )
+    )
+
+
+def top_event_users(events: DataFrame, k: int = 20) -> DataFrame:
+    """Rank/limit shape: top-k users by purchase value (window function)."""
+    from pyspark.sql.window import Window as W
+
+    per_user = events.where(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.round(F.sum("value"), 2).alias("total_value"), F.count(F.lit(1)).alias("n")
+    )
+    ranked = per_user.withColumn(
+        "rnk", F.row_number().over(W.orderBy(F.col("total_value").desc(), F.col("user_id")))
+    )
+    return ranked.where(F.col("rnk") <= k).select("user_id", "total_value", "n", "rnk")

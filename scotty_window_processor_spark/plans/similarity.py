@@ -1,0 +1,152 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+- brute-force cosine top-k: broadcast the (small) query set, JVM-side dot
+  product via F.zip_with/F.aggregate, rank with a window function. Exact;
+  cost O(queries × corpus) — the correctness baseline and fine whenever
+  the query side broadcasts.
+- LSH-bucketed (random hyperplane signs): corpus and queries hash to
+  signature buckets; only same-bucket pairs are scored. Sub-linear
+  candidate generation — the 100 TB path; recall tunable via tables.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbours per query.
+
+    The query side is broadcast (no shuffle of the corpus); score + rank
+    happen JVM-side in whole-stage codegen. Output: (query_id, neighbor_id,
+    rank) — ties broken by neighbor id for determinism."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).withColumn("cnorm", _norm(F.col("cvec")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    ).withColumn("qnorm", _norm(F.col("qvec")))
+
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", _dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm")))
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))),
+    )
+    return ranked.where(F.col("rank") <= k).select("query_id", "neighbor_id", "rank")
+
+
+def _hyperplane(dim: int, plane: int, seed: int = 7) -> list:
+    """Deterministic pseudo-random unit hyperplane (pure Python, tiny)."""
+    vals = []
+    state = (seed * 1_000_003 + plane) & 0xFFFFFFFF
+    for i in range(dim):
+        state = (1103515245 * state + 12345) & 0x7FFFFFFF
+        # Box–Muller-ish is overkill; centered uniform is fine for LSH signs
+        vals.append(state / 0x7FFFFFFF - 0.5)
+    n = math.sqrt(sum(v * v for v in vals)) or 1.0
+    return [v / n for v in vals]
+
+
+def signed_projection_buckets(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, planes_per_table: int = 12, tables: int = 4
+) -> DataFrame:
+    """Random-hyperplane LSH: per table, a `planes_per_table`-bit signature
+    of sign(v·h). Same-bucket vectors have small angular distance whp."""
+    out_cols = [F.col(id_col).alias("id")]
+    vec = F.col(vec_col).cast("array<double>")
+    structs = []
+    for t in range(tables):
+        sig = F.lit(0).cast("long")
+        for p in range(planes_per_table):
+            h = _hyperplane(dim, t * planes_per_table + p)
+            proj = _dot(vec, F.array(*[F.lit(x) for x in h]))
+            sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        structs.append(F.struct(F.lit(t).alias("tbl"), sig.alias("bucket")))
+    return df.select(*out_cols, F.explode(F.array(*structs)).alias("tb")).select(
+        "id", "tb.tbl", "tb.bucket"
+    )
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    planes_per_table: int = 10,
+    tables: int = 6,
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing an LSH bucket with
+    the query in any table. Shuffle key = (table, bucket); the full
+    corpus × query cross product never materializes."""
+    cb = signed_projection_buckets(corpus, id_col, vec_col, dim, planes_per_table, tables)
+    qb = signed_projection_buckets(queries, id_col, vec_col, dim, planes_per_table, tables)
+    candidates = (
+        cb.withColumnRenamed("id", "neighbor_id")
+        .join(qb.withColumnRenamed("id", "query_id"), ["tbl", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qvec"))
+    scored = (
+        candidates.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cos", _dot(F.col("cvec"), F.col("qvec")) / (_norm(F.col("cvec")) * _norm(F.col("qvec"))))
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))),
+    )
+    return ranked.where(F.col("rank") <= k).select("query_id", "neighbor_id", "rank")
+
+
+def embedding_near_dup(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95,
+    dim: int = 64, planes_per_table: int = 10, tables: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH candidates + exact
+    cosine verification."""
+    buckets = signed_projection_buckets(df, id_col, vec_col, dim, planes_per_table, tables)
+    a = buckets.withColumnRenamed("id", "id_a")
+    b = buckets.withColumnRenamed("id", "id_b")
+    cand = (
+        a.join(b, ["tbl", "bucket"]).where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    return (
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .withColumn("cos", _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

@@ -1,0 +1,88 @@
+"""Hot-key skew handling: salted repartition + partial-window de-salting.
+
+At 10^12 turns a single hot conv_id breaks per-key sequential processing
+(one Python worker gets the whole key). For **associative, commutative**
+aggregates over **fixed (tumbling/sliding) time windows** salting is safe:
+slice partials computed per (key, salt) combine across salts because window
+edges are data-independent. The two-level plan mirrors the reference's
+intended (never-shipped) distributed mode — child slicers emitting partial
+windows merged by a window merger (benchmark/.../distributed/
+ChildNodeBenchmark.java:76-93) — expressed here as Spark-native
+groupBy(key, salt) → groupBy(key, window) partial/final aggregation.
+
+Session windows are NOT salted (gap semantics are global per key: a salt
+boundary could split a session); callers route session queries unsalted.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.windows import SessionWindow, Window
+
+
+def with_salt(df: DataFrame, key: str, n_salts: int = 16, hot_keys: Optional[Sequence[str]] = None) -> DataFrame:
+    """Add a deterministic salt column: hot keys spread over ``n_salts``
+    buckets, other keys keep salt 0 (no extra combine cost).
+
+    Without a hot-key list, all keys are salted — appropriate when key
+    cardinality is low relative to executors."""
+    salt = F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(n_salts)).cast("int")
+    if hot_keys is not None:
+        salt = F.when(F.col(key).isin(list(hot_keys)), salt).otherwise(F.lit(0))
+    return df.withColumn("_salt", salt)
+
+
+def detect_hot_keys(df: DataFrame, key: str, factor: float = 10.0) -> list:
+    """Keys with > factor × median row count (one cheap pre-pass;
+    at scale, run on a sample: df.sample(0.001))."""
+    counts = df.groupBy(key).count()
+    median = counts.approxQuantile("count", [0.5], 0.01)[0]
+    return [r[0] for r in counts.where(F.col("count") > factor * median).select(key).collect()]
+
+
+def salted_window_aggregate(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    size: str,
+    partials: Dict[str, Column],
+    finals: Dict[str, Column],
+    n_salts: int = 16,
+    hot_keys: Optional[Sequence[str]] = None,
+    slide: Optional[str] = None,
+) -> DataFrame:
+    """Two-level windowed aggregation for skewed keys.
+
+    ``partials`` aggregate within (key, salt, window); ``finals`` combine
+    the salted partials per (key, window). E.g. count → partial
+    F.count(...), final F.sum(...). Spark already does map-side partial
+    aggregation; explicit salting additionally splits a single hot
+    reduce-side group across ``n_salts`` tasks."""
+    w = F.window(F.col(ts), size, slide) if slide else F.window(F.col(ts), size)
+    salted = with_salt(df, key, n_salts, hot_keys)
+    stage1 = salted.groupBy(F.col(key), F.col("_salt"), w.alias("w")).agg(
+        *[c.alias(n) for n, c in partials.items()]
+    )
+    return (
+        stage1.groupBy(key, "w")
+        .agg(*[c.alias(n) for n, c in finals.items()])
+        .select(
+            F.col(key),
+            F.unix_millis(F.col("w.start")).alias("w_start"),
+            F.unix_millis(F.col("w.end")).alias("w_end"),
+            *[F.col(n) for n in finals],
+        )
+    )
+
+
+def assert_saltable(windows: Sequence[Window]) -> None:
+    for w in windows:
+        if isinstance(w, SessionWindow):
+            raise ValueError(
+                "session windows cannot be salted: the gap predicate is global "
+                "per key; route session queries through the unsalted path"
+            )

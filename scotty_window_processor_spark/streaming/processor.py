@@ -1,0 +1,159 @@
+"""Structured Streaming stateful operator: the slicing kernel per key.
+
+Pipeline shape (the Spark-native equivalent of the reference's
+KeyedScottyWindowOperator, flink-connector/.../KeyedScottyWindowOperator.java:15-88):
+
+    readStream → withWatermark("ts", delay)
+      → groupBy(conv_id).applyInPandasWithState(handler)
+      → exactly-once sink (streaming.sink)
+
+Per micro-batch, each key's new rows arrive as one Arrow batch; the handler
+restores the key's kernel from the Spark state store, feeds rows in
+event-time order, advances the kernel watermark to Spark's current
+event-time watermark, and emits the triggered windows. Spark's watermark
+(`GroupState.getCurrentWatermarkMs`) replaces Flink's
+`ctx.timerService().currentWatermark()`; state timeout cleans up idle keys.
+
+State encoding: the kernel state (slices + partials + session contexts) is
+pickled into a single BinaryType state column. Partials are small (one
+value per slice per function); record buffers exist only when count
+windows are registered — the same eager/lazy footprint switch as the
+reference (SliceFactory.java:17-22).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Callable, Iterator, List, Sequence, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions import AggregateFunction
+from ..operators.kernel import SlicingWindowOperator
+from ..operators.windows import Window
+
+STATE_SCHEMA = "kernel binary"
+
+AggSpec = Tuple[str, str, Callable[[], AggregateFunction]]
+
+
+def output_schema(key_name: str, key_type: T.DataType, aggs: Sequence[AggSpec]) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(key_name, key_type, True),
+            T.StructField("window_id", T.LongType(), False),
+            T.StructField("measure", T.StringType(), False),
+            T.StructField("w_start", T.LongType(), False),
+            T.StructField("w_end", T.LongType(), False),
+            T.StructField("emit_ts", T.LongType(), False),
+        ]
+        + [T.StructField(name, T._parse_datatype_string(ddl), True) for name, ddl, _ in aggs]
+    )
+
+
+def make_handler(
+    key_name: str,
+    ts_col: str,
+    value_col: str | None,
+    windows: Sequence[Window],
+    aggs: Sequence[AggSpec],
+    lateness_ms: int,
+    out_fields: List[str],
+):
+    """Build the applyInPandasWithState handler (pure function of config —
+    shippable to executors via --py-files)."""
+    window_defs = list(windows)
+    agg_specs = list(aggs)
+
+    def new_op() -> SlicingWindowOperator:
+        op = SlicingWindowOperator(max_lateness=lateness_ms)
+        for _, _, factory in agg_specs:
+            op.add_aggregation(factory())
+        for w in window_defs:
+            op.add_window(w)
+        return op
+
+    def handler(
+        key: Tuple[Any], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        if state.exists:
+            op: SlicingWindowOperator = pickle.loads(state.get[0])
+        else:
+            op = new_op()
+
+        import time as _time
+
+        emit_ms = int(_time.time() * 1000)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            ts_ms = pdf[ts_col].to_numpy().astype("datetime64[ms]").astype("int64")
+            if len(ts_ms):
+                op.seed_watermark(int(ts_ms[0]) - 1)  # no-op after first batch
+            if value_col is not None:
+                elements = pdf[value_col].to_numpy()
+            else:
+                elements = pdf.to_dict("records")
+            for element, t in zip(elements, ts_ms.tolist()):
+                op.process_element(element, int(t))
+
+        wm = state.getCurrentWatermarkMs()
+        rows = []
+        if wm > 0:
+            results = op.process_watermark(wm)
+            fns = [factory() for _, _, factory in agg_specs]
+            for w in results:
+                if not w.has_value:
+                    continue
+                vals = [
+                    fns[i].lower(w.agg_state.partials[i]) if w.agg_state.present[i] else None
+                    for i in range(len(fns))
+                ]
+                rows.append([key[0], w.window_id, w.measure.value, w.start, w.end, emit_ms, *vals])
+
+        state.update((pickle.dumps(op),))
+        state.setTimeoutTimestamp(wm + 7 * 24 * 3600 * 1000 if wm > 0 else 2**62)
+
+        if rows:
+            yield pd.DataFrame(rows, columns=out_fields)
+
+    return handler
+
+
+def scotty_stream(
+    stream_df: DataFrame,
+    key: str,
+    ts: str,
+    value: str | None,
+    windows: Sequence[Window],
+    aggs: Sequence[AggSpec],
+    watermark_delay: str = "30 seconds",
+    lateness_ms: int = 30_000,
+) -> DataFrame:
+    """Streaming windowed aggregation with slice sharing across all
+    `windows`. Returns the streaming result DataFrame (attach a sink with
+    streaming.sink.exactly_once_parquet_sink or .writeStream)."""
+    key_field = stream_df.schema[key]
+    schema = output_schema(key, key_field.dataType, aggs)
+    handler = make_handler(
+        key, ts, value, windows, aggs, lateness_ms, [f.name for f in schema.fields]
+    )
+    return (
+        stream_df.withWatermark(ts, watermark_delay)
+        .groupBy(key)
+        .applyInPandasWithState(
+            handler,
+            outputStructType=schema,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
