@@ -1,38 +1,524 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: multi-window shared-slice aggregation over the
+                 synthesized transcripts table (the engine's core workload).
+queries()      — one entry per implemented operator (SURVEY.md §2 + the
+                 training-data pipeline operators), each (spark, sf_dir) →
+                 DataFrame over the driver testdata tables.
+oracle_sql()   — DuckDB-checkable ANSI SQL equivalents. Omitted entries
+                 (xxhash64-based signatures, approximate ANN) get the
+                 weaker rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SIZE_H = 3_600_000  # 1 hour in ms
+GAP_30M = 1_800_000
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Concurrent tumbling(10m) + tumbling(1h) + session(5m) per-conversation
+    aggregation over synthesized transcripts, one shared slice store per key."""
+    _utc(spark)
+    from scotty_window_processor_spark.functions import CountAggregation, SumAggregation
+    from scotty_window_processor_spark.operators import (
+        SessionWindow,
+        TumblingWindow,
+        WindowMeasure,
+    )
+    from scotty_window_processor_spark.plans.scotty_batch import scotty_window_aggregate
+    from scotty_window_processor_spark.sources import synthesize_transcripts
+
+    transcripts = synthesize_transcripts(
+        spark, n_convs=50, turns_per_conv=40, n_hot_convs=2, hot_factor=20
+    ).withColumn("is_tool_call", F.col("tool").isNotNull().cast("double"))
+
+    return scotty_window_aggregate(
+        transcripts,
+        key="conv_id",
+        ts="ts",
+        value="is_tool_call",
+        windows=[
+            TumblingWindow(WindowMeasure.TIME, 600_000, window_id=1),
+            TumblingWindow(WindowMeasure.TIME, SIZE_H, window_id=2),
+            SessionWindow(WindowMeasure.TIME, 300_000, window_id=3),
+        ],
+        aggs=[
+            ("turns", "long", CountAggregation),
+            ("tool_calls", "double", SumAggregation),
+        ],
+        lateness_ms=30_000,
+    )
+
+
+# --------------------------------------------------------------------------
+# windowed aggregation over `events` (user_id keyed, event time ts)
+
+
+def q_tumbling_1h(spark, sf_dir):
+    _utc(spark)
+    from scotty_window_processor_spark.plans.windowed import tumbling_aggregate
+
+    return tumbling_aggregate(
+        _events(spark, sf_dir), "user_id", "ts", "1 hour",
+        {"n": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 2)},
+    )
+
+
+def q_sliding_1h_15m(spark, sf_dir):
+    _utc(spark)
+    from scotty_window_processor_spark.plans.windowed import sliding_aggregate
+
+    return sliding_aggregate(
+        _events(spark, sf_dir), "user_id", "ts", "1 hour", "15 minutes",
+        {"n": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 2)},
+    )
+
+
+def q_session_30m(spark, sf_dir):
+    _utc(spark)
+    from scotty_window_processor_spark.plans.windowed import session_aggregate
+
+    return session_aggregate(
+        _events(spark, sf_dir), "user_id", "ts", "30 minutes",
+        {"n": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 2)},
+    )
+
+
+def q_count_tumbling_25(spark, sf_dir):
+    _utc(spark)
+    from scotty_window_processor_spark.plans.windowed import count_tumbling_aggregate
+
+    return count_tumbling_aggregate(
+        _events(spark, sf_dir), "user_id", "ts", 25,
+        {"sum_value": F.round(F.sum("value"), 2)},
+        tiebreak="event_id",
+    )
+
+
+def q_scotty_multiwindow(spark, sf_dir):
+    """Two concurrent tumbling windows through ONE kernel pass (shared
+    slices) — the reference's aggregate-sharing headline."""
+    _utc(spark)
+    from scotty_window_processor_spark.functions import CountAggregation, SumAggregation
+    from scotty_window_processor_spark.operators import TumblingWindow, WindowMeasure
+    from scotty_window_processor_spark.plans.scotty_batch import scotty_window_aggregate
+
+    out = scotty_window_aggregate(
+        _events(spark, sf_dir), key="user_id", ts="ts", value="value",
+        windows=[
+            TumblingWindow(WindowMeasure.TIME, SIZE_H, window_id=1),
+            TumblingWindow(WindowMeasure.TIME, 6 * SIZE_H, window_id=2),
+        ],
+        aggs=[("n", "long", CountAggregation), ("sum_value", "double", SumAggregation)],
+    )
+    return out.select(
+        "user_id", "window_id", "w_start", "w_end", "n", F.round("sum_value", 2).alias("sum_value")
+    )
+
+
+def q_scotty_session_kernel(spark, sf_dir):
+    """Session windows through the slicing kernel (slice split/merge path)."""
+    _utc(spark)
+    from scotty_window_processor_spark.functions import CountAggregation, SumAggregation
+    from scotty_window_processor_spark.operators import SessionWindow, WindowMeasure
+    from scotty_window_processor_spark.plans.scotty_batch import scotty_window_aggregate
+
+    out = scotty_window_aggregate(
+        _events(spark, sf_dir), key="user_id", ts="ts", value="value",
+        windows=[SessionWindow(WindowMeasure.TIME, GAP_30M)],
+        aggs=[("n", "long", CountAggregation), ("sum_value", "double", SumAggregation)],
+    )
+    return out.select(
+        "user_id", "w_start", "w_end", "n", F.round("sum_value", 2).alias("sum_value")
+    )
+
+
+def q_salted_tumbling(spark, sf_dir):
+    """Skew-safe two-level (salt partial → final) tumbling aggregation."""
+    _utc(spark)
+    from scotty_window_processor_spark.plans.skew import salted_window_aggregate
+
+    return salted_window_aggregate(
+        _events(spark, sf_dir), "user_id", "ts", "1 hour",
+        partials={"pn": F.count(F.lit(1)), "ps": F.sum("value")},
+        finals={"n": F.sum("pn"), "sum_value": F.round(F.sum("ps"), 2)},
+        n_salts=8,
+    )
+
+
+# --------------------------------------------------------------------------
+# relational coverage (TPC-H-ish tables)
+
+
+def q_pricing_summary(spark, sf_dir):
+    from scotty_window_processor_spark.plans.relational import load, pricing_summary
+
+    return pricing_summary(load(spark, sf_dir, "lineitem"))
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    from scotty_window_processor_spark.plans.relational import load, revenue_by_nation
+
+    return revenue_by_nation(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer"), load(spark, sf_dir, "nation")
+    )
+
+
+def q_interval_join_1h(spark, sf_dir):
+    _utc(spark)
+    from scotty_window_processor_spark.plans.relational import interval_self_join
+
+    return interval_self_join(_events(spark, sf_dir), SIZE_H)
+
+
+def q_top_purchase_users(spark, sf_dir):
+    from scotty_window_processor_spark.plans.relational import top_event_users
+
+    return top_event_users(_events(spark, sf_dir), 20)
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline operators (documents / embeddings)
+
+
+def q_dedup_exact(spark, sf_dir):
+    from scotty_window_processor_spark.plans.dedup import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from scotty_window_processor_spark.plans.dedup import dedup_ngram_jaccard
+
+    return dedup_ngram_jaccard(_docs(spark, sf_dir), threshold=0.35)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from scotty_window_processor_spark.plans.dedup import dedup_minhash_lsh
+
+    return dedup_minhash_lsh(_docs(spark, sf_dir), k=32, bands=8, verify_threshold=0.35)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from scotty_window_processor_spark.plans.dedup import dedup_simhash
+
+    return dedup_simhash(_docs(spark, sf_dir), max_hamming=8)
+
+
+def q_text_quality(spark, sf_dir):
+    from scotty_window_processor_spark.plans.text import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_token_count(spark, sf_dir):
+    from scotty_window_processor_spark.plans.text import token_count
+
+    return token_count(_docs(spark, sf_dir))
+
+
+def q_language_id(spark, sf_dir):
+    from scotty_window_processor_spark.plans.text import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    from scotty_window_processor_spark.plans.text import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from scotty_window_processor_spark.plans.similarity import cosine_topk_bruteforce
+
+    emb = _emb(spark, sf_dir)
+    return cosine_topk_bruteforce(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+def q_ann_cosine_lsh(spark, sf_dir):
+    from scotty_window_processor_spark.plans.similarity import cosine_topk_lsh
+
+    emb = _emb(spark, sf_dir)
+    dim = len(emb.select("embedding").first()[0])
+    return cosine_topk_lsh(emb, emb.where(F.col("vec_id") < 5), k=10, dim=dim)
+
+
+def q_multimodal_decode(spark, sf_dir):
+    from scotty_window_processor_spark.plans.multimodal import attach_binary_payload, decode_metadata
+
+    return decode_metadata(attach_binary_payload(_docs(spark, sf_dir)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tumbling_1h": q_tumbling_1h,
+        "sliding_1h_15m": q_sliding_1h_15m,
+        "session_30m": q_session_30m,
+        "count_tumbling_25": q_count_tumbling_25,
+        "scotty_multiwindow": q_scotty_multiwindow,
+        "scotty_session_kernel": q_scotty_session_kernel,
+        "salted_tumbling": q_salted_tumbling,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "interval_join_1h": q_interval_join_1h,
+        "top_purchase_users": q_top_purchase_users,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "text_quality": q_text_quality,
+        "token_count": q_token_count,
+        "language_id": q_language_id,
+        "doc_fingerprint": q_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_cosine_lsh": q_ann_cosine_lsh,
+        "multimodal_decode": q_multimodal_decode,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# --------------------------------------------------------------------------
+# DuckDB oracles
+
+_TUMBLING_1H = """
+SELECT user_id,
+       epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS w_start,
+       epoch_ms(time_bucket(INTERVAL '1 hour', ts)) + 3600000 AS w_end,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY user_id, time_bucket(INTERVAL '1 hour', ts)
+"""
+
+_SLIDING_1H_15M = """
+SELECT user_id,
+       epoch_ms(time_bucket(INTERVAL '15 minutes', ts)) - i * 900000 AS w_start,
+       epoch_ms(time_bucket(INTERVAL '15 minutes', ts)) - i * 900000 + 3600000 AS w_end,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events, (SELECT unnest(range(4)) AS i)
+GROUP BY user_id, w_start
+"""
+
+_SESSION_30M = """
+WITH marks AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+)
+SELECT user_id,
+       epoch_ms(min(ts)) AS w_start,
+       epoch_ms(max(ts)) + 1800000 AS w_end,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+_COUNT_TUMBLING_25 = """
+WITH r AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+  FROM events
+)
+SELECT user_id,
+       (rn - rn % 25) AS c_start,
+       (rn - rn % 25) + 25 AS c_end,
+       round(sum(value), 2) AS sum_value
+FROM r GROUP BY user_id, c_start HAVING count(*) = 25
+"""
+
+_MULTIWINDOW = """
+SELECT user_id, 1 AS window_id,
+       epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS w_start,
+       epoch_ms(time_bucket(INTERVAL '1 hour', ts)) + 3600000 AS w_end,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY user_id, time_bucket(INTERVAL '1 hour', ts)
+UNION ALL
+SELECT user_id, 2 AS window_id,
+       epoch_ms(time_bucket(INTERVAL '6 hours', ts)) AS w_start,
+       epoch_ms(time_bucket(INTERVAL '6 hours', ts)) + 21600000 AS w_end,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY user_id, time_bucket(INTERVAL '6 hours', ts)
+"""
+
+_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+_REVENUE_BY_NATION = """
+SELECT n_name,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+_INTERVAL_JOIN_1H = """
+SELECT e.user_id AS user_id, e.event_id AS err_id,
+       count(p.ts) AS n_purchases,
+       round(coalesce(sum(p.value), 0.0), 2) AS purchase_value
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND p.ts > e.ts
+     AND p.ts <= e.ts + INTERVAL '1 hour'
+GROUP BY e.user_id, e.event_id
+"""
+
+_TOP_PURCHASE_USERS = """
+WITH per_user AS (
+  SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY total_value DESC, user_id) AS rnk FROM per_user
+)
+SELECT user_id, total_value, n, rnk FROM ranked WHERE rnk <= 20
+"""
+
+_DEDUP_EXACT = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS dupes
+FROM documents
+GROUP BY content_hash
+"""
+
+_NGRAM_JACCARD = """
+WITH docs AS (
+  SELECT doc_id AS id,
+         list_distinct([
+           array_to_string(words[i:i+2], ' ')
+           FOR i IN range(1, greatest(len(words) - 2, 1) + 1)
+         ]) AS shingles
+  FROM (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+    FROM documents
+  )
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         len(list_intersect(a.shingles, b.shingles)) AS inter,
+         len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS uni
+  FROM docs a JOIN docs b ON a.id < b.id
+  WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+)
+SELECT id_a, id_b, round(inter * 1.0 / uni, 6) AS jaccard
+FROM pairs WHERE inter * 1.0 / uni >= 0.35
+"""
+
+_TEXT_QUALITY = """
+WITH t AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_words,
+         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+             w -> w IN ('the','and','of','to','a','in','is','it','that','for'))) AS stop,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT doc_id, n_chars, n_words,
+       round((n_chars - n_words + 1) * 1.0 / n_words, 4) AS avg_word_len,
+       round(stop * 1.0 / n_words, 4) AS stopword_ratio,
+       round(n_digits * 1.0 / n_chars, 4) AS digit_ratio,
+       round(n_punct * 1.0 / n_chars, 4) AS punct_ratio,
+       CASE WHEN n_words >= 10
+             AND (n_chars - n_words + 1) * 1.0 / n_words >= 2
+             AND (n_chars - n_words + 1) * 1.0 / n_words <= 12
+             AND n_digits * 1.0 / n_chars < 0.3
+        THEN 1 ELSE 0 END AS passes_quality
+FROM t
+"""
+
+_TOKEN_COUNT = """
+SELECT doc_id,
+       len(string_split_regex(lower(trim(text)), '\\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS regex_tokens,
+       CAST(ceil(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) * 1.3) AS BIGINT) AS est_bpe_tokens
+FROM documents
+"""
+
+_LANGUAGE_ID = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words FROM documents
+), s AS (
+  SELECT doc_id,
+    len(list_filter(words, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS score_en,
+    len(list_filter(words, x -> x IN ('der','die','und','das','ist','ein','nicht','mit','ich','auf'))) AS score_de,
+    len(list_filter(words, x -> x IN ('le','la','et','les','des','est','un','une','dans','que'))) AS score_fr
+  FROM w
+)
+SELECT doc_id, score_en, score_de, score_fr,
+       CASE WHEN score_fr > greatest(score_en, score_de) THEN 'fr'
+            WHEN score_de > score_en THEN 'de'
+            WHEN score_en > 0 THEN 'en'
+            ELSE 'und' END AS pred_lang
+FROM s
+"""
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tumbling_1h": _TUMBLING_1H,
+        "sliding_1h_15m": _SLIDING_1H_15M,
+        "session_30m": _SESSION_30M,
+        "count_tumbling_25": _COUNT_TUMBLING_25,
+        "scotty_multiwindow": _MULTIWINDOW,
+        "scotty_session_kernel": _SESSION_30M,
+        "salted_tumbling": _TUMBLING_1H,
+        "pricing_summary": _PRICING_SUMMARY,
+        "revenue_by_nation": _REVENUE_BY_NATION,
+        "interval_join_1h": _INTERVAL_JOIN_1H,
+        "top_purchase_users": _TOP_PURCHASE_USERS,
+        "dedup_exact": _DEDUP_EXACT,
+        "dedup_ngram_jaccard": _NGRAM_JACCARD,
+        "text_quality": _TEXT_QUALITY,
+        "token_count": _TOKEN_COUNT,
+        "language_id": _LANGUAGE_ID,
+        # rows-only (no portable SQL equivalent):
+        #   dedup_minhash_lsh, dedup_simhash, doc_fingerprint (xxhash64-based
+        #   signatures — DuckDB has no xxhash64), ann_cosine_topk/_lsh
+        #   (float-rank ties not hash-stable), multimodal_decode (stubbed codec)
+    }

@@ -98,12 +98,11 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = 32, n
     """K-permutation MinHash signature per doc: min over shingles of
     hash_i(shingle), all Catalyst (aggregate over the shingle array)."""
     sh = word_shingles(F.col(text_col), n)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: _hash_i(s, i)))
-            for i in range(k)
-        ]
-    )
+
+    def min_hash(i):
+        return F.array_min(F.transform(sh, lambda s: _hash_i(s, i)))
+
+    sig = F.array(*[min_hash(i) for i in range(k)])
     return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
@@ -176,17 +175,22 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     bit b of simhash = 1 iff Σ_words sign(bit b of xxhash64(word)) > 0."""
     words = F.split(normalized_text(F.col(text_col)), " ")
     hashes = F.transform(words, lambda w: F.xxhash64(w))
-    bit_votes = [
-        F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h, b=b: acc + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
+
+    def bit_mask(b):
+        # signed-64 representation: bit 63 is the sign bit
+        return F.lit(1 << b if b < 63 else -(1 << 63))
+
+    def vote_for_bit(b):
+        # closure factory: extra default-arg lambda parameters change the
+        # arity pyspark inspects and break higher-order functions
+        mask = bit_mask(b)
+        return F.aggregate(
+            hashes, F.lit(0), lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
         )
-        for b in range(bits)
-    ]
+
     sim = None
-    for b, vote in enumerate(bit_votes):
-        bit = F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    for b in range(bits):
+        bit = F.when(vote_for_bit(b) > 0, bit_mask(b)).otherwise(F.lit(0).cast("long"))
         sim = bit if sim is None else sim.bitwiseOR(bit)
     return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
 

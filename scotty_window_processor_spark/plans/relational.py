@@ -62,11 +62,13 @@ def interval_self_join(events: DataFrame, window_ms: int = 3_600_000) -> DataFra
     pur = events.where(F.col("event_type") == "purchase").select(
         F.col("user_id"), F.col("ts").alias("pur_ts"), F.col("value").alias("pur_value")
     )
+    # interval arithmetic keeps ntz timestamps ntz (no session-tz coupling)
+    horizon = err["err_ts"] + F.expr(f"INTERVAL {window_ms // 1000} SECONDS")
     joined = err.join(
         pur,
         (err["user_id"] == pur["user_id"])
         & (pur["pur_ts"] > err["err_ts"])
-        & (pur["pur_ts"] <= F.timestamp_millis(F.unix_millis(err["err_ts"]) + window_ms)),
+        & (pur["pur_ts"] <= horizon),
         "left",
     )
     return (

@@ -72,8 +72,8 @@ def salted_window_aggregate(
         .agg(*[c.alias(n) for n, c in finals.items()])
         .select(
             F.col(key),
-            F.unix_millis(F.col("w.start")).alias("w_start"),
-            F.unix_millis(F.col("w.end")).alias("w_end"),
+            F.unix_millis(F.col("w.start").cast("timestamp")).alias("w_start"),
+            F.unix_millis(F.col("w.end").cast("timestamp")).alias("w_end"),
             *[F.col(n) for n in finals],
         )
     )

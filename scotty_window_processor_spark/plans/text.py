@@ -27,10 +27,13 @@ def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     """Stopword-profile language scoring: count of profile words per
     language; predicted language = argmax (ties → 'und' undetermined)."""
     words = _words(F.col(text_col))
-    scores = {
-        lang: F.size(F.filter(words, lambda w, sw=sw: w.isin(sw)))
-        for lang, sw in LANG_PROFILES.items()
-    }
+
+    def profile_score(stopwords):
+        # one-arg lambda: a two-arg lambda would receive the array index as
+        # the second argument from F.filter
+        return F.size(F.filter(words, lambda w: w.isin(stopwords)))
+
+    scores = {lang: profile_score(sw) for lang, sw in LANG_PROFILES.items()}
     best = None
     best_lang = F.lit("und")
     for lang, score in scores.items():

@@ -26,7 +26,9 @@ from pyspark.sql.window import Window as W
 
 
 def _epoch_ms(col: Column) -> Column:
-    return F.unix_millis(col)
+    # cast handles timestamp_ntz inputs; callers pin session tz to UTC so
+    # the ntz wall clock is the UTC instant (matching DuckDB's epoch_ms)
+    return F.unix_millis(col.cast("timestamp"))
 
 
 def tumbling_aggregate(df: DataFrame, key: str, ts: str, size: str, aggs: Dict[str, Column]) -> DataFrame:
