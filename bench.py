@@ -1,0 +1,123 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "throughput": {...}, "parallelism": N}
+
+Headline queries over $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS], plus a transcripts windowed-aggregation
+throughput probe (turns/sec — the BASELINE.json metric).
+
+Scaling evidence (north_rule: ≥0.8 efficiency between N and 4N executors)
+is produced by scripts/run_scaling.py, which re-runs the flagship job at
+local[8] and local[32] in separate processes and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def build_spark(cpus: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scotty-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def transcripts_throughput(spark, n_convs: int = 2000, turns_per_conv: int = 200):
+    """Flagship engine workload: multi-window shared aggregation over
+    synthesized transcripts; returns (seconds, turns, windows)."""
+    from pyspark.sql import functions as F
+
+    from scotty_window_processor_spark.functions import CountAggregation, SumAggregation
+    from scotty_window_processor_spark.operators import (
+        SessionWindow,
+        TumblingWindow,
+        WindowMeasure,
+    )
+    from scotty_window_processor_spark.plans.scotty_batch import scotty_window_aggregate
+    from scotty_window_processor_spark.sources import synthesize_transcripts
+
+    df = synthesize_transcripts(
+        spark, n_convs=n_convs, turns_per_conv=turns_per_conv, n_hot_convs=4, hot_factor=50
+    ).withColumn("is_tool_call", F.col("tool").isNotNull().cast("double"))
+    df = df.persist()
+    n_turns = df.count()
+
+    t0 = time.time()
+    out = scotty_window_aggregate(
+        df, key="conv_id", ts="ts", value="is_tool_call",
+        windows=[
+            TumblingWindow(WindowMeasure.TIME, 600_000, window_id=1),
+            TumblingWindow(WindowMeasure.TIME, 3_600_000, window_id=2),
+            SessionWindow(WindowMeasure.TIME, 300_000, window_id=3),
+        ],
+        aggs=[("turns", "long", CountAggregation), ("tool_calls", "double", SumAggregation)],
+        lateness_ms=30_000,
+    )
+    n_windows = out.count()
+    dt = time.time() - t0
+    df.unpersist()
+    return dt, n_turns, n_windows
+
+
+def main():
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    headline = [
+        "tumbling_1h", "sliding_1h_15m", "session_30m", "scotty_multiwindow",
+        "scotty_session_kernel", "count_tumbling_25", "salted_tumbling",
+        "pricing_summary", "revenue_by_nation", "interval_join_1h",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "text_quality", "token_count", "ann_cosine_topk",
+    ]
+
+    timings = {}
+    for name in headline:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()  # materialize the full plan
+        timings[name] = round(time.time() - t0, 3)
+
+    dt, n_turns, n_windows = transcripts_throughput(spark)
+    timings["transcripts_multiwindow"] = round(dt, 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "headline-query wall time + transcript windowed-agg throughput",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "throughput": {
+            "transcript_turns": n_turns,
+            "windows_emitted": n_windows,
+            "turns_per_sec": round(n_turns / dt, 1),
+        },
+        "parallelism": int(CPUS),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -71,17 +71,50 @@ def scotty_window_aggregate(
     aggs: Sequence[AggSpec],
     lateness_ms: int = 1000,
     arrival_order: Optional[str] = None,
+    prefer_catalyst: bool = True,
 ) -> DataFrame:
-    """Run the slicing kernel per key over a batch table.
+    """Batch windowed aggregation with a three-tier physical planner:
 
-    Rows feed the kernel in event-time order (ties broken by
-    ``arrival_order`` when given), with one final flushing watermark, so
-    every complete window is emitted — semantics equal to an ANSI-SQL
-    recompute per window, which is exactly what the DuckDB oracles check.
+    1. **Catalyst built-ins** (prefer_catalyst, standard aggregates, time
+       windows): tumbling/sliding → F.window, session → F.session_window.
+       Pure JVM, whole-stage codegen, partial aggregation before the
+       shuffle — the fastest plan Spark can produce, used whenever the
+       built-ins can express the semantics.
+    2. **numpy fast path**: one Arrow batch per key, segment reductions
+       (count-measure windows, and time windows when tier 1 is off).
+    3. **pure-Python kernel**: exact Scotty slice semantics for anything
+       else (custom lift/combine/lower functions, out-of-order replays).
+
+    All tiers emit the same schema and provably identical rows (see
+    tests/test_scotty_batch_spark.py); the tier split is per window
+    family, results are unioned.
 
     Output: (key, window_id, measure, w_start, w_end, <one column per agg>).
     Time windows report epoch-ms bounds; count windows report ordinal bounds.
     """
+    catalyst_exprs = _catalyst_aggs(aggs, value) if value is not None else None
+    if prefer_catalyst and catalyst_exprs is not None:
+        time_windows = [w for w in windows if w.measure == WindowMeasure.TIME
+                        and isinstance(w, (TumblingWindow, SlidingWindow, SessionWindow))]
+        rest = [w for w in windows if w not in time_windows]
+        agg_names = [name for name, _, _ in aggs]
+        parts = [
+            _catalyst_window_plan(df, key, ts, w, _catalyst_aggs(aggs, value), agg_names)
+            for w in time_windows
+        ]
+        if rest:
+            parts.append(
+                scotty_window_aggregate(
+                    df, key, ts, value, rest, aggs, lateness_ms, arrival_order,
+                    prefer_catalyst=False,
+                )
+            )
+        if parts:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionAll(p)
+            return out
+
     key_field = df.schema[key]
     out_schema = T.StructType(
         [
@@ -108,7 +141,7 @@ def scotty_window_aggregate(
         final_wm = _final_watermark(int(ts_ms[-1]), window_defs, lateness_ms)
 
         if use_fast:
-            rows = _vectorized_fixed_time(ts_ms, pdf[value].to_numpy(), window_defs, agg_specs, final_wm)
+            rows = _vectorized_run(ts_ms, pdf[value].to_numpy(), window_defs, agg_specs, final_wm)
         else:
             rows = _kernel_run(pdf, ts_ms, value, window_defs, agg_specs, lateness_ms, final_wm)
 
@@ -119,17 +152,161 @@ def scotty_window_aggregate(
     return df.groupBy(key).applyInPandas(run, out_schema)
 
 
+def _catalyst_aggs(aggs: Sequence[AggSpec], value: str):
+    """Map standard aggregate functions to Catalyst expressions, or None
+    if any function has no built-in equivalent."""
+    out = []
+    for name, ddl, factory in aggs:
+        fn = factory()
+        if isinstance(fn, CountAggregation):
+            expr = F.count(F.lit(1))
+        elif isinstance(fn, SumAggregation):
+            expr = F.sum(value)
+        elif isinstance(fn, MinAggregation):
+            expr = F.min(value)
+        elif isinstance(fn, MaxAggregation):
+            expr = F.max(value)
+        elif isinstance(fn, MeanAggregation):
+            expr = F.avg(value)
+        else:
+            return None
+        out.append(expr.cast(ddl).alias(name))
+    return out
+
+
+def _catalyst_window_plan(
+    df: DataFrame, key: str, ts: str, w: Window, agg_exprs, agg_names
+) -> DataFrame:
+    """One built-in window family as a pure Catalyst plan."""
+    if isinstance(w, SessionWindow):
+        win = F.session_window(F.col(ts), f"{w.gap} milliseconds")
+    elif isinstance(w, SlidingWindow):
+        win = F.window(F.col(ts), f"{w.size} milliseconds", f"{w.slide} milliseconds")
+    else:
+        win = F.window(F.col(ts), f"{w.size} milliseconds")
+    return (
+        df.groupBy(F.col(key), win.alias("w"))
+        .agg(*agg_exprs)
+        .select(
+            F.col(key),
+            F.lit(w.window_id).cast("long").alias("window_id"),
+            F.lit("time").alias("measure"),
+            F.unix_millis(F.col("w.start").cast("timestamp")).alias("w_start"),
+            F.unix_millis(F.col("w.end").cast("timestamp")).alias("w_end"),
+            *[F.col(n) for n in agg_names],
+        )
+    )
+
+
 def _fast_path_eligible(windows: Sequence[Window], aggs: Sequence[AggSpec]) -> bool:
+    """Vectorizable iff every window type has a closed-form in-order batch
+    semantics and every aggregate is a numpy segment reduction.
+
+    In one-shot batch mode (sorted input + single flushing watermark) the
+    window definitions decouple: fixed time windows are interval sums over
+    the shared edge grid, sessions are gaps-and-islands, count windows are
+    positional — slice *sharing* only matters for incremental streaming
+    state, so each family reduces independently over one sorted array."""
     for w in windows:
-        if not isinstance(w, (TumblingWindow, SlidingWindow)) or w.measure != WindowMeasure.TIME:
-            return False
-        # slice-aligned window ends are needed for interval arithmetic to
-        # equal the kernel's slice containment (size must tile the slide)
-        if isinstance(w, SlidingWindow) and w.size % w.slide != 0:
+        if isinstance(w, SessionWindow):
+            if w.measure != WindowMeasure.TIME:
+                return False
+        elif isinstance(w, TumblingWindow):
+            continue  # time or count both vectorizable
+        elif isinstance(w, SlidingWindow):
+            # slice-aligned window ends are needed for interval arithmetic
+            # to equal the kernel's slice containment (size tiles the slide)
+            if w.measure != WindowMeasure.TIME or w.size % w.slide != 0:
+                return False
+        else:
             return False
     return all(
         type(spec[2]()) in _NUMPY_FAST or isinstance(spec[2](), MeanAggregation) for spec in aggs
     )
+
+
+def _vectorized_run(ts_ms, values, windows, aggs, final_wm):
+    fixed = [
+        w
+        for w in windows
+        if isinstance(w, (TumblingWindow, SlidingWindow)) and w.measure == WindowMeasure.TIME
+    ]
+    sessions = [w for w in windows if isinstance(w, SessionWindow)]
+    counts = [w for w in windows if isinstance(w, TumblingWindow) and w.measure == WindowMeasure.COUNT]
+
+    order = np.argsort(ts_ms, kind="stable")
+    ts_sorted = ts_ms[order]
+    vals = values[order].astype("float64")
+
+    rows = []
+    if fixed:
+        rows.extend(_vectorized_fixed_time(ts_sorted, vals, fixed, aggs, final_wm))
+    for w in sessions:
+        rows.extend(_vectorized_session(ts_sorted, vals, w, aggs, final_wm))
+    for w in counts:
+        rows.extend(_vectorized_count_tumbling(ts_sorted, vals, w, aggs))
+    return rows
+
+
+def _segment_values(vals, seg_starts, seg_ends, aggs):
+    """Per-segment aggregate vectors (segments non-empty, possibly
+    non-contiguous after emission filtering — so min/max slice directly)."""
+    csum = np.concatenate([[0.0], np.cumsum(vals)])
+    sums = csum[seg_ends] - csum[seg_starts]
+    cnts = (seg_ends - seg_starts).astype("int64")
+    fns = [factory() for _, _, factory in aggs]
+    out = []
+    for i in range(len(seg_starts)):
+        vals_i = []
+        for fn in fns:
+            if isinstance(fn, SumAggregation):
+                vals_i.append(float(sums[i]))
+            elif isinstance(fn, CountAggregation):
+                vals_i.append(int(cnts[i]))
+            elif isinstance(fn, MeanAggregation):
+                vals_i.append(float(sums[i] / cnts[i]) if cnts[i] else None)
+            elif isinstance(fn, MinAggregation):
+                vals_i.append(float(np.min(vals[seg_starts[i] : seg_ends[i]])))
+            elif isinstance(fn, MaxAggregation):
+                vals_i.append(float(np.max(vals[seg_starts[i] : seg_ends[i]])))
+        out.append(vals_i)
+    return out
+
+
+def _vectorized_session(ts_sorted, vals, w, aggs, final_wm):
+    """Gaps-and-islands: session boundaries where the ts gap exceeds `gap`.
+    Equals the kernel's SessionContext semantics for an in-order batch with
+    one flushing watermark (session end = last ts + gap)."""
+    gap = w.gap
+    brk = np.nonzero(np.diff(ts_sorted) > gap)[0]
+    seg_starts = np.concatenate([[0], brk + 1])
+    seg_ends = np.concatenate([brk + 1, [len(ts_sorted)]])
+    w_start = ts_sorted[seg_starts]
+    w_end = ts_sorted[seg_ends - 1] + gap
+    emit = w_end < final_wm
+    agg_rows = _segment_values(vals, seg_starts[emit], seg_ends[emit], aggs)
+    return [
+        [w.window_id, "time", int(s), int(e), *a]
+        for s, e, a in zip(w_start[emit], w_end[emit], agg_rows)
+    ]
+
+
+def _vectorized_count_tumbling(ts_sorted, vals, w, aggs):
+    """Positional count windows over event-time order. Matches the kernel's
+    flush semantics: windows with end <= total+1 are emitted, so the last
+    window may be partial exactly when total ≡ -1 (mod n)."""
+    n = w.size
+    total = len(ts_sorted)
+    n_windows = (total + 1) // n
+    if n_windows == 0:
+        return []
+    seg_starts = np.arange(n_windows) * n
+    seg_ends = np.minimum(seg_starts + n, total)
+    agg_rows = _segment_values(vals, seg_starts, seg_ends, aggs)
+    return [
+        [w.window_id, "count", int(k * n), int((k + 1) * n), *a]
+        for k, a in zip(range(n_windows), agg_rows)
+    ]
 
 
 def _kernel_run(pdf, ts_ms, value, windows, aggs, lateness_ms, final_wm):
@@ -171,9 +348,8 @@ def _vectorized_fixed_time(ts_ms, values, windows, aggs, final_wm):
     np.add.reduceat-style pass and each window combines a contiguous slice
     range. Invertible functions (sum/count) use prefix sums: O(1) per
     window instance regardless of size/slide ratio."""
-    order = np.argsort(ts_ms, kind="stable")
-    ts_sorted = ts_ms[order]
-    vals = values[order].astype("float64")
+    ts_sorted = ts_ms  # pre-sorted by _vectorized_run
+    vals = values
     lo, hi = int(ts_sorted[0]), int(ts_sorted[-1])
 
     steps = sorted({(w.slide if isinstance(w, SlidingWindow) else w.size) for w in windows})

@@ -140,3 +140,35 @@ def test_fast_path_matches_kernel_path(spark, transcripts):
         assert _normalize(fast, ["s", "mx"]) == _normalize(slow, ["s", "mx"])
     finally:
         sb._fast_path_eligible = orig
+
+
+def test_vectorized_session_and_count_match_kernel(spark, transcripts):
+    """Sessions (gaps-and-islands) and count windows through the numpy path
+    vs the per-element kernel."""
+    from scotty_window_processor_spark.functions import CountAggregation, SumAggregation
+    from scotty_window_processor_spark.plans import scotty_batch as sb
+
+    df = transcripts.withColumn("v", F.col("turn_idx").cast("double"))
+    args = dict(
+        key="conv_id", ts="ts", value="v",
+        windows=[
+            SessionWindow(WindowMeasure.TIME, 120_000, window_id=1),
+            TumblingWindow(WindowMeasure.COUNT, 7, window_id=2),
+            TumblingWindow(WindowMeasure.TIME, 600_000, window_id=3),
+        ],
+        aggs=[("s", "double", SumAggregation), ("n", "long", CountAggregation)],
+        arrival_order="turn_idx",
+    )
+    fast = scotty_window_aggregate(df, **args).select(
+        "conv_id", "window_id", "w_start", "w_end", "s", "n")
+    assert sb._fast_path_eligible(args["windows"], args["aggs"])
+
+    orig = sb._fast_path_eligible
+    sb._fast_path_eligible = lambda *a, **k: False
+    try:
+        slow = scotty_window_aggregate(df, **args).select(
+            "conv_id", "window_id", "w_start", "w_end", "s", "n")
+        norm = lambda d: sorted(tuple(r) for r in d.collect())
+        assert norm(fast) == norm(slow)
+    finally:
+        sb._fast_path_eligible = orig
