@@ -34,7 +34,11 @@ def build_spark(cpus: str):
         .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "8g")
+        # keep all cores fed after AQE coalescing
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", cpus)
+        # big Arrow batches: the Arrow IPC pipe is the pandas-tier floor
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
+        .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

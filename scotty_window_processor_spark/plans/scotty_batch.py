@@ -132,6 +132,15 @@ def scotty_window_aggregate(
     sort_cols = [ts] + ([arrival_order] if arrival_order else [])
     use_fast = _fast_path_eligible(window_defs, agg_specs) and value is not None
 
+    if use_fast:
+        # tier 2: bucketed multi-key vectorization — thousands of keys per
+        # Arrow batch, zero per-key Python (see plans.vectorized_multi)
+        from .vectorized_multi import multikey_window_aggregate
+
+        return multikey_window_aggregate(
+            df, key, ts, value, window_defs, agg_specs, arrival_order
+        )
+
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return pd.DataFrame({f.name: pd.Series(dtype="object") for f in out_schema.fields})
@@ -149,6 +158,9 @@ def scotty_window_aggregate(
         out.insert(0, key, key_val)
         return out
 
+    if value is not None:
+        # column-prune before the shuffle: payload columns never cross Arrow
+        df = df.select(*dict.fromkeys([key, ts, value] + ([arrival_order] if arrival_order else [])))
     return df.groupBy(key).applyInPandas(run, out_schema)
 
 

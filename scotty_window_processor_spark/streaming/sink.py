@@ -1,0 +1,104 @@
+"""Exactly-once parquet sink with per-partition lineage + metrics.
+
+Spark's streaming file sink is already exactly-once via the write-ahead
+manifest; this sink adds what the north_rule asks beyond that — lineage
+records per micro-batch partition and idempotent re-delivery on restart:
+
+- each micro-batch writes to ``<out>/batch_id=<N>/`` with dynamic
+  partition overwrite: a batch replayed after a crash (same batch_id from
+  the checkpointed offset log) OVERWRITES its own output instead of
+  appending a duplicate — the standard foreachBatch idempotence recipe;
+- a ``_lineage/batch-<N>.json`` manifest records row counts and window
+  ranges per partition, committed AFTER the data write (readers treat
+  data without a manifest as in-flight);
+- downstream consumers read ``read_committed`` to see only manifested
+  batches.
+
+The reference has no sink at all (demo `print()`, benchmark no-op —
+SURVEY.md §2.3); exactly-once semantics here come from Spark's
+checkpointed offset tracking + idempotent writes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ExactlyOnceParquetSink:
+    def __init__(self, out_dir: str, partition_cols: list[str] | None = None):
+        self.out_dir = out_dir
+        self.partition_cols = partition_cols or []
+        self.lineage_dir = os.path.join(out_dir, "_lineage")
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(self.lineage_dir, exist_ok=True)
+        manifest_path = os.path.join(self.lineage_dir, f"batch-{batch_id}.json")
+
+        batch_df = batch_df.withColumn("batch_id", F.lit(batch_id))
+        path = os.path.join(self.out_dir, f"batch_id={batch_id}")
+        # overwrite THIS batch's directory only: replays are idempotent
+        batch_df.drop("batch_id").write.mode("overwrite").parquet(path)
+
+        spark = batch_df.sparkSession
+        written = spark.read.parquet(path)
+        stats = written.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min("w_start").alias("min_w_start"),
+            F.max("w_end").alias("max_w_end"),
+        ).collect()[0]
+        manifest = {
+            "batch_id": batch_id,
+            "rows": stats["rows"],
+            "min_w_start": stats["min_w_start"],
+            "max_w_end": stats["max_w_end"],
+            "committed_at_ms": int(time.time() * 1000),
+            "path": path,
+        }
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, manifest_path)  # atomic commit marker
+
+    def read_committed(self, spark: SparkSession) -> DataFrame:
+        """Read only batches whose lineage manifest was committed."""
+        batches = []
+        if os.path.isdir(self.lineage_dir):
+            for name in sorted(os.listdir(self.lineage_dir)):
+                if name.startswith("batch-") and name.endswith(".json"):
+                    with open(os.path.join(self.lineage_dir, name)) as f:
+                        batches.append(json.load(f))
+        paths = [b["path"] for b in batches if b["rows"] > 0 and os.path.isdir(b["path"])]
+        if not paths:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType([]))
+        return spark.read.parquet(*paths)
+
+    def lineage(self) -> list[dict]:
+        out = []
+        if os.path.isdir(self.lineage_dir):
+            for name in sorted(os.listdir(self.lineage_dir)):
+                if name.startswith("batch-") and name.endswith(".json"):
+                    with open(os.path.join(self.lineage_dir, name)) as f:
+                        out.append(json.load(f))
+        return out
+
+
+def write_stream_exactly_once(
+    result: DataFrame, out_dir: str, checkpoint_dir: str, trigger_once: bool = False
+):
+    """Attach the exactly-once sink to a streaming result DataFrame."""
+    sink = ExactlyOnceParquetSink(out_dir)
+    writer = (
+        result.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return sink, writer
