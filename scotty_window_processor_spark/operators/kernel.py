@@ -623,6 +623,24 @@ class SlicingWindowOperator:
                     s = self.store[index - 1]
                 w.trigger_windows(collector, self.last_count, s.c_last + 1)
 
+    def next_emission_ts(self) -> Optional[int]:
+        """Earliest event time at which a watermark could trigger a new
+        emission — drives the streaming operator's event-time timer (the
+        Spark analogue of the reference broadcasting processWatermark to
+        every key, KeyedScottyWindowOperator.java:65-78). Waking early is
+        harmless; waking late would delay emissions, so bounds are loose."""
+        candidates = []
+        if not self.store.is_empty:
+            for w in self.context_free:
+                if w.measure == WindowMeasure.TIME:
+                    step = w.slide if isinstance(w, SlidingWindow) else w.size
+                    k = (self.last_watermark - w.size) // step + 1
+                    candidates.append(k * step + w.size)
+        for ctx in self.contexts:
+            if ctx.active_windows:
+                candidates.append(ctx.active_windows[0].end + ctx.gap + 1)
+        return min(candidates) if candidates else None
+
     def _evict(self, current_watermark: int) -> None:
         max_delay = self.max_fixed_window_size
         for ctx in self.contexts:

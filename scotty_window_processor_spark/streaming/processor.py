@@ -81,10 +81,11 @@ def make_handler(
     def handler(
         key: Tuple[Any], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:
-            state.remove()
-            return
-
+        # Invoked when this key has new rows OR its event-time timer fired
+        # (hasTimedOut): the timer is how watermark-only progress reaches
+        # keys with no fresh data — the reference instead loops over all
+        # keys on every watermark advance (KeyedScottyWindowOperator
+        # .java:65-78), which a distributed state store cannot do.
         if state.exists:
             op: SlicingWindowOperator = pickle.loads(state.get[0])
         else:
@@ -94,10 +95,11 @@ def make_handler(
 
         emit_ms = int(_time.time() * 1000)
         for pdf in pdfs:
+            if pdf.empty:
+                continue
             pdf = pdf.sort_values(ts_col, kind="mergesort")
             ts_ms = pdf[ts_col].to_numpy().astype("datetime64[ms]").astype("int64")
-            if len(ts_ms):
-                op.seed_watermark(int(ts_ms[0]) - 1)  # no-op after first batch
+            op.seed_watermark(int(ts_ms[0]) - 1)  # no-op after first batch
             if value_col is not None:
                 elements = pdf[value_col].to_numpy()
             else:
@@ -119,8 +121,14 @@ def make_handler(
                 ]
                 rows.append([key[0], w.window_id, w.measure.value, w.start, w.end, emit_ms, *vals])
 
-        state.update((pickle.dumps(op),))
-        state.setTimeoutTimestamp(wm + 7 * 24 * 3600 * 1000 if wm > 0 else 2**62)
+        nxt = op.next_emission_ts()
+        if nxt is None and op.store.is_empty and not op.has_count_measure:
+            # nothing pending and no positional counters to preserve
+            state.remove()
+        else:
+            state.update((pickle.dumps(op),))
+            # wake when the watermark passes the next possible emission
+            state.setTimeoutTimestamp(max(nxt if nxt is not None else wm + 1, wm + 1))
 
         if rows:
             yield pd.DataFrame(rows, columns=out_fields)

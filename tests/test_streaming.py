@@ -1,0 +1,200 @@
+"""Structured Streaming end-to-end tests: the stateful slicing operator on
+a file stream, the exactly-once sink, and checkpoint resume.
+"""
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from scotty_window_processor_spark.functions import CountAggregation, SumAggregation
+from scotty_window_processor_spark.operators import (
+    SessionWindow,
+    TumblingWindow,
+    WindowMeasure,
+)
+from scotty_window_processor_spark.plans.scotty_batch import scotty_window_aggregate
+from scotty_window_processor_spark.sources import synthesize_transcripts, transcripts_schema
+from scotty_window_processor_spark.streaming.processor import scotty_stream
+from scotty_window_processor_spark.streaming.sink import ExactlyOnceParquetSink
+
+from spark_fixtures import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark()
+
+
+@pytest.fixture(scope="module")
+def transcript_files(spark, tmp_path_factory):
+    """Transcripts split into 6 parquet files in event-time order, so the
+    watermark advances across micro-batches."""
+    base = tmp_path_factory.mktemp("stream_src")
+    df = synthesize_transcripts(
+        spark, n_convs=12, turns_per_conv=40, n_hot_convs=1, hot_factor=5,
+        disorder_pct=10, straggler_pct=0,
+    )
+    pdf = df.toPandas().sort_values("ts")
+    n = len(pdf)
+    chunk = (n + 5) // 6
+    for i in range(6):
+        part = pdf.iloc[i * chunk : (i + 1) * chunk]
+        if len(part):
+            tbl = pa.Table.from_pandas(part, preserve_index=False)
+            # pandas ns-timestamps -> us so Spark's reader accepts the column
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("ts"), "ts",
+                tbl.column("ts").cast(pa.timestamp("us")),
+            )
+            pq.write_table(tbl, str(base / f"{i:04d}.parquet"))
+    return str(base), pdf
+
+
+WINDOWS = lambda: [
+    TumblingWindow(WindowMeasure.TIME, 600_000, window_id=1),
+    SessionWindow(WindowMeasure.TIME, 300_000, window_id=3),
+]
+AGGS = [("turns", "long", CountAggregation), ("tool_calls", "double", SumAggregation)]
+
+
+def _read_stream(spark, src_dir, files_per_trigger=1):
+    return (
+        spark.readStream.schema(transcripts_schema())
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(src_dir)
+    )
+
+
+def test_stream_matches_batch_for_closed_windows(spark, transcript_files, tmp_path):
+    src_dir, pdf = transcript_files
+    stream = _read_stream(spark, src_dir)
+    result = scotty_stream(
+        stream, key="conv_id", ts="ts",
+        value=None if False else "turn_idx",  # numeric value column
+        windows=WINDOWS(), aggs=[("turns", "long", CountAggregation)],
+        watermark_delay="30 seconds", lateness_ms=30_000,
+    )
+    q = (
+        result.writeStream.format("memory").queryName("stream_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["conv_id"], r["window_id"], r["w_start"], r["w_end"], r["turns"])
+        for r in spark.table("stream_out").collect()
+    }
+    assert got, "stream emitted nothing"
+
+    # batch reference over the same rows
+    batch_df = spark.read.parquet(src_dir)
+    batch = scotty_window_aggregate(
+        batch_df, key="conv_id", ts="ts", value="turn_idx",
+        windows=WINDOWS(), aggs=[("turns", "long", CountAggregation)],
+        lateness_ms=30_000,
+    )
+    final_wm = int(pdf["ts"].max().value // 10**6) - 30_000
+    expected = {
+        (r["conv_id"], r["window_id"], r["w_start"], r["w_end"], r["turns"])
+        for r in batch.collect()
+        if r["w_end"] < final_wm  # only windows the stream's watermark closed
+    }
+    missing = expected - got
+    assert not missing, f"stream missed {len(missing)} closed windows: {sorted(missing)[:5]}"
+    # every streamed window closed before the final watermark must equal batch
+    got_closed = {g for g in got if g[3] < final_wm}
+    extra = got_closed - expected
+    assert not extra, f"stream emitted wrong windows: {sorted(extra)[:5]}"
+
+
+def test_exactly_once_sink_with_restart(spark, transcript_files, tmp_path):
+    """Kill the query mid-stream, restart from the checkpoint, assert no
+    duplicate or missing windows and consistent lineage manifests."""
+    src_all, pdf = transcript_files
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    files = sorted(glob.glob(os.path.join(src_all, "*.parquet")))
+
+    def deliver(f, seq):
+        # atomic rename + strictly increasing mtime: the file source orders
+        # by (modTime, path), and non-atomic copies can be picked up
+        # partially / out of order — out-of-order file arrival is
+        # beyond-lateness data and genuinely loses rows (same semantics as
+        # the reference's beyond-maxLateness regime)
+        tmp_name = os.path.join(src_dir, "._" + os.path.basename(f))
+        dst = os.path.join(src_dir, os.path.basename(f))
+        shutil.copy(f, tmp_name)
+        os.utime(tmp_name, (1_700_000_000 + seq, 1_700_000_000 + seq))
+        os.rename(tmp_name, dst)
+
+    # phase 1: first 3 files
+    for i, f in enumerate(files[:3]):
+        deliver(f, i)
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    sink = ExactlyOnceParquetSink(out_dir)
+
+    def start():
+        stream = _read_stream(spark, src_dir)
+        result = scotty_stream(
+            stream, key="conv_id", ts="ts", value="turn_idx",
+            windows=[TumblingWindow(WindowMeasure.TIME, 600_000, window_id=1)],
+            aggs=[("turns", "long", CountAggregation)],
+            watermark_delay="30 seconds", lateness_ms=30_000,
+        )
+        return (
+            result.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()  # "crash" after phase 1
+
+    rows_phase1 = sink.read_committed(spark).count()
+
+    # phase 2: remaining files arrive; restart from the same checkpoint
+    for i, f in enumerate(files[3:]):
+        deliver(f, 3 + i)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    final = sink.read_committed(spark)
+    rows = final.select("conv_id", "window_id", "w_start", "w_end", "turns").collect()
+    keys = [(r[0], r[1], r[2], r[3]) for r in rows]
+    assert len(keys) == len(set(keys)), "duplicate windows after restart"
+    assert final.count() >= rows_phase1
+
+    # lineage manifests cover every batch directory, counts consistent
+    lineage = sink.lineage()
+    assert lineage, "no lineage manifests"
+    total = sum(m["rows"] for m in lineage)
+    assert total == final.count()
+
+    # append-mode emission is final-only: each closed window appears once
+    # and matches the batch recompute for closed windows
+    batch = scotty_window_aggregate(
+        spark.read.parquet(src_dir), key="conv_id", ts="ts", value="turn_idx",
+        windows=[TumblingWindow(WindowMeasure.TIME, 600_000, window_id=1)],
+        aggs=[("turns", "long", CountAggregation)], lateness_ms=30_000,
+    )
+    final_wm = int(pdf["ts"].max().value // 10**6) - 30_000
+    expected = {
+        (r["conv_id"], r["window_id"], r["w_start"], r["w_end"], r["turns"])
+        for r in batch.collect() if r["w_end"] < final_wm
+    }
+    got = {
+        (r["conv_id"], r["window_id"], r["w_start"], r["w_end"], r["turns"]) for r in rows
+    }
+    assert expected <= got, f"missing {len(expected - got)} closed windows after restart"
