@@ -76,8 +76,7 @@ def test_stream_matches_batch_for_closed_windows(spark, transcript_files, tmp_pa
     src_dir, pdf = transcript_files
     stream = _read_stream(spark, src_dir)
     result = scotty_stream(
-        stream, key="conv_id", ts="ts",
-        value=None if False else "turn_idx",  # numeric value column
+        stream, key="conv_id", ts="ts", value="turn_idx",
         windows=WINDOWS(), aggs=[("turns", "long", CountAggregation)],
         watermark_delay="30 seconds", lateness_ms=30_000,
     )
@@ -198,3 +197,38 @@ def test_exactly_once_sink_with_restart(spark, transcript_files, tmp_path):
         (r["conv_id"], r["window_id"], r["w_start"], r["w_end"], r["turns"]) for r in rows
     }
     assert expected <= got, f"missing {len(expected - got)} closed windows after restart"
+
+
+def test_stream_stream_interval_join(spark, transcript_files, tmp_path):
+    """Watermarked stream-stream interval join: tool-call ↔ tool-result."""
+    from scotty_window_processor_spark.streaming.join import tool_call_result_join
+
+    src_dir, _ = transcript_files
+    stream = _read_stream(spark, src_dir, files_per_trigger=3)
+    joined = tool_call_result_join(stream, max_gap_seconds=120)
+    q = (
+        joined.writeStream.format("memory").queryName("join_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_join"))
+        .outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("join_out").collect()
+    assert got, "stream-stream join produced no pairs"
+
+    # batch equivalent over the same files
+    batch = spark.read.parquet(src_dir)
+    calls = batch.where(F.col("tool").isNotNull()).select(
+        F.col("conv_id"), F.col("turn_idx").alias("call_turn"), F.col("ts").alias("call_ts"))
+    results = batch.where(F.col("role") == "tool").select(
+        F.col("conv_id").alias("r_conv"), F.col("turn_idx").alias("result_turn"), F.col("ts").alias("result_ts"))
+    expected = (
+        calls.join(results,
+            (F.col("conv_id") == F.col("r_conv"))
+            & (F.col("result_ts") >= F.col("call_ts"))
+            & (F.col("result_ts") <= F.col("call_ts") + F.expr("INTERVAL 120 SECONDS")))
+        .count()
+    )
+    # streaming inner interval join emits pairs as both sides arrive; with
+    # all data within watermark reach it must equal the batch join
+    assert len(got) == expected
