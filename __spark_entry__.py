@@ -163,6 +163,52 @@ def q_scotty_session_kernel(spark, sf_dir):
     )
 
 
+def q_scotty_quantile_kernel(spark, sf_dir):
+    """Custom lift/combine/lower aggregate (exact median over a value→count
+    histogram, QuantileWindowFunction analogue) — exercises the pure-Python
+    kernel tier inside the oracle gate."""
+    _utc(spark)
+    from scotty_window_processor_spark.functions import CountAggregation, QuantileAggregation
+    from scotty_window_processor_spark.operators import TumblingWindow, WindowMeasure
+    from scotty_window_processor_spark.plans.scotty_batch import scotty_window_aggregate
+
+    out = scotty_window_aggregate(
+        _events(spark, sf_dir), key="user_id", ts="ts", value="value",
+        windows=[TumblingWindow(WindowMeasure.TIME, 6 * SIZE_H)],
+        aggs=[("n", "long", CountAggregation), ("median_value", "double", QuantileAggregation)],
+    )
+    return out.select("user_id", "w_start", "w_end", "n", F.round("median_value", 2).alias("median_value"))
+
+
+def q_ordered_rollup(spark, sf_dir):
+    """Ordered per-window rollup: event types concatenated in stable
+    (ts, event_id) order — the RoleTextRollup shape ('per-turn text
+    equality under stable turn_idx ordering'), pure Catalyst."""
+    _utc(spark)
+    e = _events(spark, sf_dir)
+    w = F.window(F.col("ts"), "6 hours")
+    return (
+        e.groupBy("user_id", w.alias("w"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ":",
+            ).alias("event_seq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start").cast("timestamp")).alias("w_start"),
+            F.unix_millis(F.col("w.end").cast("timestamp")).alias("w_end"),
+            "event_seq",
+            "n",
+        )
+    )
+
+
 def q_salted_tumbling(spark, sf_dir):
     """Skew-safe two-level (salt partial → final) tumbling aggregation."""
     _utc(spark)
@@ -288,6 +334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_tumbling_25": q_count_tumbling_25,
         "scotty_multiwindow": q_scotty_multiwindow,
         "scotty_session_kernel": q_scotty_session_kernel,
+        "scotty_quantile_kernel": q_scotty_quantile_kernel,
+        "ordered_rollup": q_ordered_rollup,
         "salted_tumbling": q_salted_tumbling,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -374,6 +422,26 @@ SELECT user_id, 2 AS window_id,
        epoch_ms(time_bucket(INTERVAL '6 hours', ts)) + 21600000 AS w_end,
        count(*) AS n, round(sum(value), 2) AS sum_value
 FROM events GROUP BY user_id, time_bucket(INTERVAL '6 hours', ts)
+"""
+
+_QUANTILE_KERNEL = """
+SELECT user_id,
+       epoch_ms(time_bucket(INTERVAL '6 hours', ts)) AS w_start,
+       epoch_ms(time_bucket(INTERVAL '6 hours', ts)) + 21600000 AS w_end,
+       count(*) AS n,
+       round(quantile_disc(value, 0.5), 2) AS median_value
+FROM events
+GROUP BY user_id, time_bucket(INTERVAL '6 hours', ts)
+"""
+
+_ORDERED_ROLLUP = """
+SELECT user_id,
+       epoch_ms(time_bucket(INTERVAL '6 hours', ts)) AS w_start,
+       epoch_ms(time_bucket(INTERVAL '6 hours', ts)) + 21600000 AS w_end,
+       string_agg(event_type, ':' ORDER BY ts, event_id) AS event_seq,
+       count(*) AS n
+FROM events
+GROUP BY user_id, time_bucket(INTERVAL '6 hours', ts)
 """
 
 _PRICING_SUMMARY = """
@@ -507,6 +575,8 @@ def oracle_sql() -> dict[str, str]:
         "count_tumbling_25": _COUNT_TUMBLING_25,
         "scotty_multiwindow": _MULTIWINDOW,
         "scotty_session_kernel": _SESSION_30M,
+        "scotty_quantile_kernel": _QUANTILE_KERNEL,
+        "ordered_rollup": _ORDERED_ROLLUP,
         "salted_tumbling": _TUMBLING_1H,
         "pricing_summary": _PRICING_SUMMARY,
         "revenue_by_nation": _REVENUE_BY_NATION,

@@ -19,6 +19,7 @@ rollup) are this engine's additions for the conversation-analytics workload.
 from __future__ import annotations
 
 import bisect
+import math
 from typing import Any, Generic, TypeVar
 
 In = TypeVar("In")
@@ -174,10 +175,12 @@ class QuantileAggregation(AggregateFunction[float, dict, float]):
         return dict(partial)
 
     def lower(self, partial):
+        # discrete quantile: smallest v with cume_dist >= q (matches SQL
+        # quantile_disc / percentile_disc semantics)
         total = sum(partial.values())
         if total == 0:
             return None
-        target = max(1, int(round(self.q * total)))
+        target = max(1, math.ceil(self.q * total))
         seen = 0
         for v in sorted(partial):
             seen += partial[v]

@@ -484,6 +484,27 @@ class SlicingWindowOperator:
             self._append_slice(self._first_slice_start(ts), Flexible())
 
         current = self.store[len(self.store) - 1]
+
+        # Sparse-key guard (divergence fix #3): when the inter-arrival gap
+        # exceeds max_lateness the reference's edge enumeration jumps
+        # (StreamSlicer.java:115 t_c = max(te - maxLateness, prev_edge)),
+        # leaving the open slice spanning several fixed windows; no window
+        # instance then contains it (containsSlice needs w.start <=
+        # slice.t_start) and its records silently drop. If the open slice
+        # is still EMPTY, close it at the largest window-grid edge <= ts so
+        # the incoming record lands in a slice every window containing ts
+        # also contains. Dense streams (gaps <= lateness) never hit this.
+        if (
+            self.has_time_measure
+            and self.has_fixed_windows
+            and ts >= current.t_last
+            and current.t_first == JLONG_MAX
+        ):
+            aligned = self._first_slice_start(ts)
+            if aligned > current.t_start:
+                self._append_slice(aligned, Fixed())
+                current = self.store[len(self.store) - 1]
+
         if ts >= current.t_last:
             # in-order: slice edges already created by _determine_slices;
             # session context updates need no slice surgery here

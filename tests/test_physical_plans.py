@@ -1,0 +1,75 @@
+"""Physical-plan guarantees: predicate pushdown, column pruning, broadcast
+joins, no stray shuffles — the properties that decide 100 TB behaviour."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from spark_fixtures import get_spark
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    from scotty_window_processor_spark.plans.relational import load, pricing_summary
+
+    plan = plan_of(pricing_summary(load(spark, SF, "lineitem")))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_dimension_joins_are_broadcast(spark):
+    from scotty_window_processor_spark.plans.relational import load, revenue_by_nation
+
+    plan = plan_of(
+        revenue_by_nation(load(spark, SF, "orders"), load(spark, SF, "customer"), load(spark, SF, "nation"))
+    )
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_window_aggregate_prunes_payload_columns(spark):
+    """The text payload must never cross the shuffle or the Arrow boundary."""
+    from scotty_window_processor_spark.functions import CountAggregation
+    from scotty_window_processor_spark.operators import TumblingWindow, WindowMeasure
+    from scotty_window_processor_spark.plans.scotty_batch import scotty_window_aggregate
+    from scotty_window_processor_spark.sources import synthesize_transcripts
+
+    tdir = "/tmp/plan_check_transcripts"
+    synthesize_transcripts(spark, n_convs=5, turns_per_conv=10).write.mode("overwrite").parquet(tdir)
+    df = spark.read.parquet(tdir).withColumn("one", F.lit(1.0))
+    out = scotty_window_aggregate(
+        df, key="conv_id", ts="ts", value="one",
+        windows=[TumblingWindow(WindowMeasure.COUNT, 5)],  # forces Arrow tier
+        aggs=[("n", "long", CountAggregation)],
+    )
+    plan = plan_of(out)
+    scan_schema = plan.split("ReadSchema:")[-1].splitlines()[0]
+    assert "text" not in scan_schema, f"payload column read from parquet: {scan_schema}"
+    assert "role" not in scan_schema
+
+
+def test_catalyst_tier_uses_builtin_window_aggregate(spark):
+    """Standard aggs over time windows must compile to pure JVM plans —
+    no Python evaluation nodes anywhere."""
+    from scotty_window_processor_spark.functions import CountAggregation
+    from scotty_window_processor_spark.operators import TumblingWindow, WindowMeasure
+    from scotty_window_processor_spark.plans.scotty_batch import scotty_window_aggregate
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    out = scotty_window_aggregate(
+        events, key="user_id", ts="ts", value="value",
+        windows=[TumblingWindow(WindowMeasure.TIME, 3_600_000)],
+        aggs=[("n", "long", CountAggregation)],
+    )
+    plan = plan_of(out)
+    assert "Python" not in plan and "Arrow" not in plan, plan[:500]
+    assert "HashAggregate" in plan

@@ -1,0 +1,83 @@
+"""Transcript payload aggregates (ToolTally, RoleTextRollup, Quantile) and
+the sparse-key divergence fix, at the kernel level (no Spark)."""
+
+from scotty_window_processor_spark.functions import (
+    CountAggregation,
+    QuantileAggregation,
+    RoleTextRollup,
+    SumAggregation,
+    ToolTallyAggregation,
+)
+from scotty_window_processor_spark.operators import (
+    SlicingWindowOperator,
+    TumblingWindow,
+    WindowMeasure,
+)
+
+
+def turn(idx, role, text, tool=None):
+    return {"turn_idx": idx, "role": role, "text": text, "tool": tool}
+
+
+def test_tool_tally_and_role_rollup():
+    op = SlicingWindowOperator()
+    op.add_aggregation(ToolTallyAggregation())
+    op.add_aggregation(RoleTextRollup())
+    op.add_window(TumblingWindow(WindowMeasure.TIME, 100))
+    turns = [
+        (turn(0, "user", "hi"), 10),
+        (turn(1, "assistant", "hello"), 20),
+        (turn(2, "tool", "result-a", tool="search"), 30),
+        (turn(3, "assistant", "done"), 40),
+        (turn(4, "tool", "result-b", tool="search"), 150),
+        (turn(5, "tool", "result-c", tool="exec"), 160),
+    ]
+    for element, ts in turns:
+        op.process_element(element, ts)
+    r = op.process_watermark(1000)
+    w0, w1 = r[0], r[1]
+    assert (w0.start, w0.end) == (0, 100)
+    tally0, rollup0 = w0.agg_values()
+    assert tally0 == {"search": 1}
+    # per-turn text equality under stable turn_idx ordering
+    assert rollup0 == {
+        "user": ["hi"],
+        "assistant": ["hello", "done"],
+        "tool": ["result-a"],
+    }
+    tally1, rollup1 = w1.agg_values()
+    assert tally1 == {"exec": 1, "search": 1}
+    assert rollup1 == {"tool": ["result-b", "result-c"]}
+
+
+def test_quantile_exact_median():
+    op = SlicingWindowOperator()
+    op.add_aggregation(QuantileAggregation(0.5))
+    op.add_window(TumblingWindow(WindowMeasure.TIME, 100))
+    for v, ts in [(5, 1), (1, 2), (9, 3), (7, 4), (3, 5)]:
+        op.process_element(v, ts)
+    r = op.process_watermark(200)
+    assert r[0].agg_values()[0] == 5  # exact median of {1,3,5,7,9}
+
+
+def test_sparse_key_gap_exceeding_lateness_keeps_records():
+    """Divergence fix #3: inter-arrival gaps > max_lateness must not drop
+    records (the reference's edge jump leaves a multi-window-spanning
+    slice that no window contains)."""
+    op = SlicingWindowOperator(max_lateness=1000)
+    op.add_aggregation(SumAggregation())
+    op.add_aggregation(CountAggregation())
+    op.add_window(TumblingWindow(WindowMeasure.TIME, 10))
+    op.seed_watermark(0)
+    # gaps of ~50k ms >> lateness 1000
+    events = [(1, 3), (2, 50_007), (3, 100_013), (4, 100_014), (5, 150_021)]
+    for v, ts in events:
+        op.process_element(v, ts)
+    results = op.process_watermark(200_000)
+    emitted = {(w.start, w.end): tuple(w.agg_values()) for w in results if w.has_value}
+    assert emitted == {
+        (0, 10): (1, 1),
+        (50_000, 50_010): (2, 1),
+        (100_010, 100_020): (7, 2),
+        (150_020, 150_030): (5, 1),
+    }
