@@ -147,19 +147,33 @@ def q_scotty_multiwindow(spark, sf_dir):
 
 
 def q_scotty_session_kernel(spark, sf_dir):
-    """Session windows through the slicing kernel (slice split/merge path)."""
+    """Session windows through the slicing kernel itself (force_kernel pins
+    tier 3: SessionContext surgery + slice split/merge + clone-before-merge
+    for the mutable quantile partial — not the Catalyst or vectorized
+    equivalents)."""
     _utc(spark)
-    from scotty_window_processor_spark.functions import CountAggregation, SumAggregation
+    from scotty_window_processor_spark.functions import (
+        CountAggregation,
+        QuantileAggregation,
+        SumAggregation,
+    )
     from scotty_window_processor_spark.operators import SessionWindow, WindowMeasure
     from scotty_window_processor_spark.plans.scotty_batch import scotty_window_aggregate
 
     out = scotty_window_aggregate(
         _events(spark, sf_dir), key="user_id", ts="ts", value="value",
         windows=[SessionWindow(WindowMeasure.TIME, GAP_30M)],
-        aggs=[("n", "long", CountAggregation), ("sum_value", "double", SumAggregation)],
+        aggs=[
+            ("n", "long", CountAggregation),
+            ("sum_value", "double", SumAggregation),
+            ("median_value", "double", QuantileAggregation),
+        ],
+        force_kernel=True,
     )
     return out.select(
-        "user_id", "w_start", "w_end", "n", F.round("sum_value", 2).alias("sum_value")
+        "user_id", "w_start", "w_end", "n",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("median_value", 2).alias("median_value"),
     )
 
 
@@ -264,13 +278,13 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Near-dup pairs by word-3-gram Jaccard. At the test SFs shingle df
-    maxes at ~25 so no df cap is applied; at 100 TB pass max_shingle_df
-    (with the matching HAVING clause in the oracle) — Σdf² on hot
-    shingles otherwise explodes."""
+    """Near-dup pairs by word-3-gram Jaccard. The shingle document-frequency
+    cap (df ≤ 50, mirrored by the oracle's WHERE df <= 50) is ON — at
+    scale a hot shingle otherwise generates O(df²) candidate pairs; the
+    plan and the oracle prune identically by construction."""
     from scotty_window_processor_spark.plans.dedup import dedup_ngram_jaccard
 
-    return dedup_ngram_jaccard(_docs(spark, sf_dir), threshold=0.35)
+    return dedup_ngram_jaccard(_docs(spark, sf_dir), threshold=0.35, max_shingle_df=50)
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -280,9 +294,12 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
+    """max_hamming=3 matches the 4-table 15-bit-prefix pigeonhole recall
+    guarantee — any pair within Hamming ≤ 3 of a 60-bit simhash shares at
+    least one quarter, so recall is exact (not silently partial)."""
     from scotty_window_processor_spark.plans.dedup import dedup_simhash
 
-    return dedup_simhash(_docs(spark, sf_dir), max_hamming=8)
+    return dedup_simhash(_docs(spark, sf_dir), max_hamming=3)
 
 
 def q_text_quality(spark, sf_dir):
@@ -316,12 +333,14 @@ def q_ann_cosine_topk(spark, sf_dir):
     return cosine_topk_bruteforce(emb, emb.where(F.col("vec_id") < 5), k=10)
 
 
+EMB_DIM = 64  # embeddings-table contract (TESTDATA.md): array<float> of 64
+
+
 def q_ann_cosine_lsh(spark, sf_dir):
     from scotty_window_processor_spark.plans.similarity import cosine_topk_lsh
 
     emb = _emb(spark, sf_dir)
-    dim = len(emb.select("embedding").first()[0])
-    return cosine_topk_lsh(emb, emb.where(F.col("vec_id") < 5), k=10, dim=dim)
+    return cosine_topk_lsh(emb, emb.where(F.col("vec_id") < 5), k=10, dim=EMB_DIM)
 
 
 def q_multimodal_decode(spark, sf_dir):
@@ -398,6 +417,26 @@ SELECT user_id,
        epoch_ms(max(ts)) + 1800000 AS w_end,
        count(*) AS n,
        round(sum(value), 2) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+_SESSION_KERNEL = """
+WITH marks AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+)
+SELECT user_id,
+       epoch_ms(min(ts)) AS w_start,
+       epoch_ms(max(ts)) + 1800000 AS w_end,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value,
+       round(quantile_disc(value, 0.5), 2) AS median_value
 FROM sess GROUP BY user_id, sid
 """
 
@@ -578,6 +617,198 @@ SELECT doc_id, score_en, score_de, score_fr,
 FROM s
 """
 
+# --- portable-hash oracles -------------------------------------------------
+# Every hash below is md5-based (plans.portable_hash.md5_60) so DuckDB can
+# reproduce it bit-exactly: Spark conv(substring(md5(x),1,15),16,10) ==
+# DuckDB ('0x' || left(md5(x),15))::BIGINT.
+
+
+def _md5_60_sql(expr: str) -> str:
+    return f"(('0x' || left(md5({expr}), 15))::BIGINT)"
+
+
+_FINGERPRINT = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words FROM documents
+), g AS (
+  SELECT doc_id,
+         [{_md5_60_sql("array_to_string(words[i:i+4], ' ')")}
+          FOR i IN range(1, greatest(len(words) - 4, 1) + 1)] AS grams
+  FROM w
+)
+SELECT doc_id,
+       list_aggregate(grams, 'min') AS fp_min,
+       list_aggregate(grams, 'max') AS fp_max,
+       len(grams) AS n_grams
+FROM g
+"""
+
+
+def _simhash_sql() -> str:
+    """60-bit simhash + 4×15-bit-quarter bucketing, generated column-wise
+    (60 vote aggregates → one simhash expression), mirroring
+    plans.dedup.simhash/dedup_simhash exactly."""
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (wh >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(60)
+    )
+    bits = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(60))
+    return f"""
+WITH w AS (
+  SELECT doc_id AS id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+), h AS (
+  SELECT id, {_md5_60_sql('word')} AS wh FROM w
+), v AS (
+  SELECT id,
+         {votes}
+  FROM h GROUP BY id
+), s AS (
+  SELECT id, {bits} AS simhash FROM v
+), bkt AS (
+  SELECT id, simhash, t.tbl, (simhash >> (t.tbl * 15)) & 32767 AS bucket
+  FROM s, (SELECT unnest(range(4)) AS tbl) t
+), pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM bkt a JOIN bkt b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
+def _minhash_lsh_sql(k: int = 32, bands: int = 8, threshold: float = 0.35) -> str:
+    """Full MinHash+LSH+verify pipeline in SQL with the same (a,b) hash
+    family constants as plans.dedup.minhash_signatures."""
+    from scotty_window_processor_spark.plans.portable_hash import MINHASH_P, minhash_params
+
+    params = minhash_params(k)
+    rows = k // bands
+    mins = ",\n         ".join(
+        f"min((hm * {a} + {b}) % {MINHASH_P}) AS h{i}" for i, (a, b) in enumerate(params)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT id, {b} AS band, concat_ws(',', {cols}) AS bucket FROM sig".format(
+            b=b, cols=", ".join(f"h{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id AS id,
+         list_distinct([
+           {_md5_60_sql("array_to_string(words[i:i+2], ' ')")}
+           FOR i IN range(1, greatest(len(words) - 2, 1) + 1)
+         ]) AS sh
+  FROM (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+    FROM documents
+  )
+), expl AS (
+  SELECT id, unnest(sh) % {MINHASH_P} AS hm FROM docs
+), sig AS (
+  SELECT id,
+         {mins}
+  FROM expl GROUP BY id
+), bkt AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bkt a JOIN bkt b USING (band, bucket)
+  WHERE a.id < b.id
+), verify AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(da.sh, db.sh)) AS inter,
+         len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS uni
+  FROM cand c JOIN docs da ON c.id_a = da.id JOIN docs db ON c.id_b = db.id
+)
+SELECT id_a, id_b, round(inter * 1.0 / uni, 6) AS jaccard
+FROM verify WHERE inter * 1.0 / uni >= {threshold}
+"""
+
+
+_ANN_TOPK = """
+WITH c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cvec FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_inner_product(cvec, qvec)
+               / (sqrt(list_inner_product(cvec, cvec)) * sqrt(list_inner_product(qvec, qvec))),
+               6) AS cos
+  FROM c, q WHERE neighbor_id <> query_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS "rank"
+  FROM scored
+)
+SELECT query_id, neighbor_id, "rank" FROM ranked WHERE "rank" <= 10
+"""
+
+
+def _ann_lsh_sql(k: int = 10, dim: int = 64, planes_per_table: int = 10, tables: int = 6) -> str:
+    """Random-hyperplane LSH + exact rescoring in SQL, embedding the same
+    deterministic hyperplane constants as plans.similarity._hyperplane."""
+    from scotty_window_processor_spark.plans.similarity import _hyperplane
+
+    sig_terms = []
+    for t in range(tables):
+        bits = " + ".join(
+            f"(CASE WHEN list_inner_product(v, {_hyperplane(dim, t * planes_per_table + p)!r}"
+            f"::DOUBLE[]) > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(planes_per_table)
+        )
+        sig_terms.append(f"SELECT id, v, {t} AS tbl, {bits} AS bucket FROM vecs")
+    buckets = "\n  UNION ALL\n  ".join(sig_terms)
+    return f"""
+WITH vecs AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+), buckets AS (
+  {buckets}
+), qb AS (
+  SELECT * FROM buckets WHERE id < 5
+), cand AS (
+  SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+  FROM buckets c JOIN qb q ON c.tbl = q.tbl AND c.bucket = q.bucket
+  WHERE c.id <> q.id
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_inner_product(cv.v, qv.v)
+               / (sqrt(list_inner_product(cv.v, cv.v)) * sqrt(list_inner_product(qv.v, qv.v))),
+               6) AS cos
+  FROM cand JOIN vecs cv ON cand.neighbor_id = cv.id JOIN vecs qv ON cand.query_id = qv.id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS "rank"
+  FROM scored
+)
+SELECT query_id, neighbor_id, "rank" FROM ranked WHERE "rank" <= {k}
+"""
+
+
+_MULTIMODAL = f"""
+WITH t AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n,
+         CASE ({_md5_60_sql('doc_id::VARCHAR')} % 3) + 1
+              WHEN 1 THEN 'image/png' WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS media
+  FROM documents
+)
+SELECT doc_id,
+       n AS byte_len,
+       CASE WHEN media = 'image/png' THEN 64 + n % 640
+            WHEN media = 'video/mp4' THEN 320 END AS width,
+       CASE WHEN media = 'image/png' THEN 64 + (n * 7) % 480
+            WHEN media = 'video/mp4' THEN 240 END AS height,
+       CASE WHEN media = 'video/mp4' THEN 1 + n % 120 END AS n_frames,
+       CASE media WHEN 'image/png' THEN 'png-stub'
+                  WHEN 'audio/wav' THEN 'pcm-stub'
+                  ELSE 'h264-stub' END AS codec
+FROM t
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tumbling_1h": _TUMBLING_1H,
@@ -585,7 +816,7 @@ def oracle_sql() -> dict[str, str]:
         "session_30m": _SESSION_30M,
         "count_tumbling_25": _COUNT_TUMBLING_25,
         "scotty_multiwindow": _MULTIWINDOW,
-        "scotty_session_kernel": _SESSION_30M,
+        "scotty_session_kernel": _SESSION_KERNEL,
         "scotty_quantile_kernel": _QUANTILE_KERNEL,
         "ordered_rollup": _ORDERED_ROLLUP,
         "salted_tumbling": _TUMBLING_1H,
@@ -595,11 +826,13 @@ def oracle_sql() -> dict[str, str]:
         "top_purchase_users": _TOP_PURCHASE_USERS,
         "dedup_exact": _DEDUP_EXACT,
         "dedup_ngram_jaccard": _NGRAM_JACCARD,
+        "dedup_minhash_lsh": _minhash_lsh_sql(),
+        "dedup_simhash": _simhash_sql(),
         "text_quality": _TEXT_QUALITY,
         "token_count": _TOKEN_COUNT,
         "language_id": _LANGUAGE_ID,
-        # rows-only (no portable SQL equivalent):
-        #   dedup_minhash_lsh, dedup_simhash, doc_fingerprint (xxhash64-based
-        #   signatures — DuckDB has no xxhash64), ann_cosine_topk/_lsh
-        #   (float-rank ties not hash-stable), multimodal_decode (stubbed codec)
+        "doc_fingerprint": _FINGERPRINT,
+        "ann_cosine_topk": _ANN_TOPK,
+        "ann_cosine_lsh": _ann_lsh_sql(),
+        "multimodal_decode": _MULTIMODAL,
     }

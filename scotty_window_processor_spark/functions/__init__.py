@@ -224,6 +224,16 @@ class ToolTallyAggregation(AggregateFunction[Any, dict, dict]):
         return dict(sorted(partial.items()))
 
 
+class ToolTallyString(ToolTallyAggregation):
+    """ToolTallyAggregation with a canonical string lower():
+    'tool=count' pairs sorted by tool name — hash-stable across engines,
+    so the kernel-tier tally can face the DuckDB oracle
+    (string_agg(tool || '=' || cnt, ',' ORDER BY tool))."""
+
+    def lower(self, partial):
+        return ",".join(f"{k}={v}" for k, v in sorted(partial.items()))
+
+
 class RoleTextRollup(AggregateFunction[Any, list, dict]):
     """Per-role text rollup ordered by ``turn_idx``.
 
@@ -252,3 +262,17 @@ class RoleTextRollup(AggregateFunction[Any, list, dict]):
         for _, role, text in sorted(partial):
             out.setdefault(role, []).append(text)
         return out
+
+
+class RoleTextRollupString(RoleTextRollup):
+    """RoleTextRollup with a canonical string lower():
+    'role:text1;text2|role2:...' — roles sorted, texts in turn_idx order.
+    Hash-stable across engines, so the kernel-tier rollup can face the
+    DuckDB oracle (string_agg(text, ';' ORDER BY turn_idx) per role, then
+    string_agg(role || ':' || seq, '|' ORDER BY role))."""
+
+    def lower(self, partial):
+        out: dict = {}
+        for _, role, text in sorted(partial):
+            out.setdefault(role, []).append(text)
+        return "|".join(f"{role}:{';'.join(texts)}" for role, texts in sorted(out.items()))

@@ -29,7 +29,7 @@ implementation below is new):
   SliceFactory.java:17-22 (records kept only when a count window exists)
 
 Two deliberate divergences from the reference (both latent reference bugs
-that its tests never reach, documented in tests/test_kernel_divergences.py):
+that its tests never reach, pinned in tests/test_store.py:62-75):
 1. the record buffer is a stable sorted *list*, so same-timestamp records
    are retained (the reference's TreeSet silently drops them);
 2. merging two slices merges their record buffers (the reference drops the

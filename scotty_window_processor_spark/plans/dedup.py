@@ -5,15 +5,18 @@ around shuffle economics at 100 TB:
 
 - exact:          one hash-groupBy on a digest; the digest (not the full
                   text) is the shuffle key, so shuffle bytes ≈ rows × 32B.
-- ngram_jaccard:  explode shingles → self-join on shingle → pair-level
-                  Jaccard. The shingle join is the scalable candidate
-                  generator (only docs sharing ≥1 shingle ever meet);
-                  at scale add `min_shingle_df` pruning of ubiquitous
-                  shingles to kill the quadratic hot shingles.
+- ngram_jaccard:  explode shingle HASHES → self-join on the 8-byte hash →
+                  pair-level Jaccard. The shingle join is the scalable
+                  candidate generator (only docs sharing ≥1 shingle ever
+                  meet); `max_shingle_df` prunes ubiquitous shingles to
+                  kill the quadratic hot shingles — mandatory at scale.
 - minhash_lsh:    shingle → K minhashes → B bands → band-bucket join.
-                  Candidate pairs are verified with exact Jaccard.
-- simhash:        64-bit simhash from word hashes; near-dups = equal
-                  Hamming buckets on rotated prefixes.
+                  Candidate pairs are verified with exact Jaccard. Hashes
+                  are the PORTABLE md5-60 family (plans.portable_hash) so
+                  the whole pipeline has a bit-exact DuckDB oracle.
+- simhash:        60-bit simhash from portable word hashes; near-dups =
+                  equal Hamming buckets on 15-bit rotated quarters
+                  (pigeonhole-exact recall for hamming ≤ 3).
 - embedding:      cosine near-dup over an embedding column (see
                   similarity.py for the ANN machinery).
 """
@@ -22,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .portable_hash import MINHASH_P, md5_60, minhash_params
 
 
 def normalized_text(col):
@@ -41,7 +46,7 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def word_shingles(text_col, n: int = 3):
-    """Word-level n-gram shingles as an array column (Catalyst-only).
+    """Word-level n-gram shingles as an array<string> column (Catalyst-only).
 
     Built with O(1) element_at lookups per position — a slice() inside
     transform() re-copies the array per element (O(len²) per doc and it
@@ -58,31 +63,57 @@ def word_shingles(text_col, n: int = 3):
     return F.array_distinct(F.slice(grams, F.lit(1), F.greatest(F.size(words) - n + 1, F.lit(1))))
 
 
+def shingle_hash_array(text_col, n: int = 3):
+    """Distinct 64-bit hashes of the word n-gram shingles, WITHOUT ever
+    materialising the shingle strings: xxhash64 over the word tuple
+    (Spark chains per-column hashes, so ('ab','c') and ('a','bc') cannot
+    alias). Each missing tail word hashes as NULL (skipped), which exactly
+    mirrors concat_ws dropping it — the distinct-hash set is 1:1 with the
+    distinct-string set of `word_shingles` up to 64-bit collisions (~1e-9
+    at 10^6 distinct shingles, and a collision only perturbs one
+    intersection count).
+
+    This cuts the dominant dedup cost: no per-position string concat, no
+    string array_distinct, and the explode/join key drops from an ~n-word
+    string to 8 bytes."""
+    words = F.split(normalized_text(text_col), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - n + 1, F.lit(1)))
+    grams = F.transform(
+        idx, lambda i: F.xxhash64(*[F.try_element_at(words, i + k) for k in range(n)])
+    )
+    return F.array_distinct(grams)
+
+
+def portable_shingle_hashes(text_col, n: int = 3):
+    """Distinct 60-bit PORTABLE hashes of the word n-gram shingles
+    (md5-60 of the shingle string) — used where the output must be
+    reproducible in the DuckDB oracle (MinHash/LSH)."""
+    return F.array_distinct(
+        F.transform(word_shingles(text_col, n), lambda s: md5_60(s))
+    )
+
+
 def dedup_ngram_jaccard(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 50,
 ) -> DataFrame:
     """Near-duplicate pairs by word n-gram Jaccard similarity ≥ threshold.
 
-    Plan shape: explode(shingles) → self-join on shingle (shuffle key =
-    shingle, both sides identically partitioned) → per-pair intersection
-    count → Jaccard from |A|+|B|−|∩|. ``max_shingle_df`` drops shingles
-    occurring in more than that many docs — mandatory at scale (a stop-word
-    shingle otherwise generates O(df²) candidate pairs)."""
+    Plan shape: explode(shingle hashes) → self-join on the hash (shuffle
+    key = 8-byte hash, both sides identically partitioned) → per-pair
+    intersection count → Jaccard from |A|+|B|−|∩|. ``max_shingle_df``
+    (default 50) drops shingles occurring in more than that many docs —
+    mandatory at scale (a stop-word shingle otherwise generates O(df²)
+    candidate pairs); the oracle applies the identical df filter."""
     docs = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
+        F.col(id_col).alias("id"), shingle_hash_array(F.col(text_col), n).alias("shingles")
     ).withColumn("n_sh", F.size("shingles"))
 
-    # join on the shingle HASH, not the string: the shuffle key drops from
-    # ~n-word strings to 8 bytes (64-bit collisions are ~1e-9 at 10^6
-    # distinct shingles; a collision only perturbs one intersection count)
-    exploded = docs.select("id", "n_sh", F.explode("shingles").alias("sh_str")).select(
-        "id", "n_sh", F.xxhash64("sh_str").alias("sh")
-    )
+    exploded = docs.select("id", "n_sh", F.explode("shingles").alias("sh"))
     if max_shingle_df is not None:
         freq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
         exploded = exploded.join(freq.where(F.col("df_") <= max_shingle_df), "sh").drop("df_")
@@ -101,26 +132,25 @@ def dedup_ngram_jaccard(
     return pairs
 
 
-def _hash_i(col, i: int):
-    """Deterministic 64-bit hash family member i (xxhash64 with seed mix)."""
-    return F.xxhash64(col, F.lit(i * 0x9E3779B9))
-
-
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = 32, n: int = 3) -> DataFrame:
     """K-permutation MinHash signature per doc: min over shingles of
-    hash_i(shingle).
+    h_i(shingle) with the portable family h_i(x) = (a_i·x + b_i) mod P
+    over md5-60 shingle hashes (see plans.portable_hash — every value is
+    reproducible in ANSI SQL, so the LSH output is oracle-checkable).
 
-    Plan shape: explode shingles once, hash each shingle k times in one
-    projection (whole-stage codegen), then one hash aggregate of k mins per
-    doc. (The alternative — k array_min(transform(...)) expressions over
-    the shingle array — re-evaluates the shingle construction k times:
-    ~50× slower in practice, no common-subexpression elimination across
-    array elements.)"""
+    Plan shape: one md5 per distinct shingle at explode time, then k
+    cheap modular transforms in one projection (whole-stage codegen) and
+    one hash aggregate of k mins per doc."""
+    params = minhash_params(k)
     exploded = df.select(
-        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
-    )
+        F.col(id_col).alias("id"),
+        F.explode(portable_shingle_hashes(F.col(text_col), n)).alias("h"),
+    ).withColumn("hm", F.pmod(F.col("h"), F.lit(MINHASH_P)))
     mins = exploded.groupBy("id").agg(
-        *[F.min(_hash_i(F.col("sh"), i)).alias(f"h{i}") for i in range(k)]
+        *[
+            F.min(F.pmod(F.col("hm") * F.lit(a) + F.lit(b), F.lit(MINHASH_P))).alias(f"h{i}")
+            for i, (a, b) in enumerate(params)
+        ]
     )
     return mins.select("id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"))
 
@@ -138,9 +168,15 @@ def dedup_minhash_lsh(
 
     bands × rows_per_band = k; a pair collides if any band's row-slice of
     the signature matches exactly. The band bucket id is the shuffle key —
-    candidate generation never compares all pairs."""
+    candidate generation never compares all pairs. Every hash is the
+    portable md5-60/mod-P family, so the full candidate+verify pipeline
+    has a bit-exact DuckDB oracle (see __spark_entry__._MINHASH_LSH)."""
     rows_per_band = k // bands
     sigs = minhash_signatures(df, id_col, text_col, k, n)
+    # the bucket join key is xxhash64 of the band's value string — Spark-
+    # internal only (both join sides use it identically; the oracle joins
+    # on its own band strings, and any xx-collision-induced candidate must
+    # still pass the exact-Jaccard verify to reach the output)
     buckets = sigs.select(
         "id",
         F.explode(
@@ -173,9 +209,13 @@ def dedup_minhash_lsh(
         .distinct()
     )
 
-    # verify candidates with exact Jaccard (broadcast-friendly: candidate
-    # set is tiny relative to the corpus)
-    docs = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles"))
+    # verify candidates with exact Jaccard on the portable shingle-hash
+    # arrays. The candidate set is tiny relative to the corpus and
+    # Catalyst pushes the candidate-id join below the projection, so the
+    # shingle arrays are only (re)computed for candidate docs.
+    docs = df.select(
+        F.col(id_col).alias("id"), portable_shingle_hashes(F.col(text_col), n).alias("shingles")
+    )
     verified = (
         candidates.join(docs.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(docs.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
@@ -188,28 +228,29 @@ def dedup_minhash_lsh(
     return verified
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
-    """64-bit SimHash per doc from word hashes, all Catalyst.
+SIMHASH_BITS = 60  # md5-60 word hashes → 60 usable sign bits
 
-    bit b of simhash = 1 iff Σ_words sign(bit b of xxhash64(word)) > 0."""
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
+    """60-bit SimHash per doc from PORTABLE word hashes, all Catalyst.
+
+    bit b of simhash = 1 iff Σ_words sign(bit b of md5_60(word)) > 0.
+    md5-60 (plans.portable_hash) keeps every bit reproducible in the
+    DuckDB oracle; duplicate words vote with multiplicity on both sides."""
     words = F.split(normalized_text(F.col(text_col)), " ")
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
-
-    def bit_mask(b):
-        # signed-64 representation: bit 63 is the sign bit
-        return F.lit(1 << b if b < 63 else -(1 << 63))
+    hashes = F.transform(words, lambda w: md5_60(w))
 
     def vote_for_bit(b):
         # closure factory: extra default-arg lambda parameters change the
         # arity pyspark inspects and break higher-order functions
-        mask = bit_mask(b)
+        mask = F.lit(1 << b)
         return F.aggregate(
             hashes, F.lit(0), lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
         )
 
     sim = None
     for b in range(bits):
-        bit = F.when(vote_for_bit(b) > 0, bit_mask(b)).otherwise(F.lit(0).cast("long"))
+        bit = F.when(vote_for_bit(b) > 0, F.lit(1 << b)).otherwise(F.lit(0).cast("long"))
         sim = bit if sim is None else sim.bitwiseOR(bit)
     return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
 
@@ -217,15 +258,24 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
 def dedup_simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3, tables: int = 4
 ) -> DataFrame:
-    """SimHash near-dup pairs: bucket by 16-bit prefix under `tables`
-    rotations (any pair within Hamming distance ≤3 of a 64-bit hash shares
-    at least one of 4 16-bit quarters — pigeonhole), verify Hamming."""
+    """SimHash near-dup pairs: bucket by 15-bit prefix under ``tables``
+    rotations (any pair within Hamming distance ≤ tables−1 of a 60-bit
+    hash shares at least one of the 4 15-bit quarters — pigeonhole), then
+    verify exact Hamming. With the defaults (max_hamming=3, tables=4)
+    recall is exact, not approximate."""
+    if max_hamming > tables - 1:
+        raise ValueError(
+            f"pigeonhole recall guarantee needs max_hamming <= tables-1 "
+            f"(got max_hamming={max_hamming}, tables={tables})"
+        )
+    quarter_bits = SIMHASH_BITS // tables
+    mask = (1 << quarter_bits) - 1
     sims = simhash(df, id_col, text_col)
     quarters = [
         sims.select(
             "id", "simhash",
             F.lit(t).alias("tbl"),
-            F.shiftright(F.col("simhash"), t * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+            F.shiftright(F.col("simhash"), t * quarter_bits).bitwiseAND(F.lit(mask)).alias("bucket"),
         )
         for t in range(tables)
     ]

@@ -35,12 +35,15 @@ DECODED_SCHEMA = T.StructType(
 def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic stand-in binary column (utf-8 bytes of the text) +
     media metadata — lets the full pipeline run end-to-end without real
-    media files."""
+    media files. The media-type assignment uses the portable md5-60 hash
+    so the whole stage is reproducible in the DuckDB oracle."""
+    from .portable_hash import md5_60
+
     return df.withColumn("payload", F.encode(F.col(text_col), "utf-8")).withColumn(
         "media_type",
         F.element_at(
             F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
-            (F.pmod(F.xxhash64("doc_id"), F.lit(3)) + 1).cast("int"),
+            (F.pmod(md5_60(F.col("doc_id").cast("string")), F.lit(3)) + 1).cast("int"),
         ),
     )
 

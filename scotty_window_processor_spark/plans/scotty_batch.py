@@ -13,17 +13,17 @@ window instead).
 Scale notes:
 - the only shuffle is the groupBy(key); slice partials keep per-key state
   O(slices × functions), not O(rows);
-- a vectorized numpy fast path (fixed time windows, in-order batches)
-  bypasses the per-element loop — see `_vectorized_fixed_time`;
-- hot-key skew is handled upstream by `plans.skew.salted_scotty` (salting
-  is legal for associative/commutative functions; sessions route unsalted).
+- the vectorized tier (thousands of keys per Arrow batch, numpy segment
+  reductions, zero per-key Python) lives in `plans.vectorized_multi`;
+- hot-key skew is handled upstream by `plans.skew.salted_window_aggregate`
+  (salting is legal for associative/commutative functions; sessions route
+  unsalted).
 """
 
 from __future__ import annotations
 
 from typing import Callable, List, Optional, Sequence, Tuple
 
-import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -72,6 +72,7 @@ def scotty_window_aggregate(
     lateness_ms: int = 1000,
     arrival_order: Optional[str] = None,
     prefer_catalyst: bool = True,
+    force_kernel: bool = False,
 ) -> DataFrame:
     """Batch windowed aggregation with a three-tier physical planner:
 
@@ -80,19 +81,24 @@ def scotty_window_aggregate(
        Pure JVM, whole-stage codegen, partial aggregation before the
        shuffle — the fastest plan Spark can produce, used whenever the
        built-ins can express the semantics.
-    2. **numpy fast path**: one Arrow batch per key, segment reductions
+    2. **multi-key vectorized tier** (plans.vectorized_multi): bucketed
+       Arrow batches, numpy segment reductions, zero per-key Python
        (count-measure windows, and time windows when tier 1 is off).
     3. **pure-Python kernel**: exact Scotty slice semantics for anything
        else (custom lift/combine/lower functions, out-of-order replays).
 
     All tiers emit the same schema and provably identical rows (see
     tests/test_scotty_batch_spark.py); the tier split is per window
-    family, results are unioned.
+    family, results are unioned. ``force_kernel=True`` pins tier 3 —
+    used by parity tests and oracle-gated queries that must exercise the
+    slicing kernel itself rather than a faster equivalent plan.
 
     Output: (key, window_id, measure, w_start, w_end, <one column per agg>).
     Time windows report epoch-ms bounds; count windows report ordinal bounds.
     """
     catalyst_exprs = _catalyst_aggs(aggs, value) if value is not None else None
+    if force_kernel:
+        prefer_catalyst = False
     if prefer_catalyst and catalyst_exprs is not None:
         time_windows = [w for w in windows if w.measure == WindowMeasure.TIME
                         and isinstance(w, (TumblingWindow, SlidingWindow, SessionWindow))]
@@ -130,7 +136,9 @@ def scotty_window_aggregate(
     window_defs = list(windows)
     agg_specs = list(aggs)
     sort_cols = [ts] + ([arrival_order] if arrival_order else [])
-    use_fast = _fast_path_eligible(window_defs, agg_specs) and value is not None
+    use_fast = (
+        not force_kernel and value is not None and _fast_path_eligible(window_defs, agg_specs)
+    )
 
     if use_fast:
         # tier 2: bucketed multi-key vectorization — thousands of keys per
@@ -148,11 +156,7 @@ def scotty_window_aggregate(
         ts_ms = (pdf[ts].to_numpy().astype("datetime64[ms]").astype("int64"))
         key_val = pdf[key].iloc[0]
         final_wm = _final_watermark(int(ts_ms[-1]), window_defs, lateness_ms)
-
-        if use_fast:
-            rows = _vectorized_run(ts_ms, pdf[value].to_numpy(), window_defs, agg_specs, final_wm)
-        else:
-            rows = _kernel_run(pdf, ts_ms, value, window_defs, agg_specs, lateness_ms, final_wm)
+        rows = _kernel_run(pdf, ts_ms, value, window_defs, agg_specs, lateness_ms, final_wm)
 
         out = pd.DataFrame(rows, columns=[f.name for f in out_schema.fields[1:]])
         out.insert(0, key, key_val)
@@ -162,6 +166,41 @@ def scotty_window_aggregate(
         # column-prune before the shuffle: payload columns never cross Arrow
         df = df.select(*dict.fromkeys([key, ts, value] + ([arrival_order] if arrival_order else [])))
     return df.groupBy(key).applyInPandas(run, out_schema)
+
+
+def scotty_global_aggregate(
+    df: DataFrame,
+    ts: str,
+    value: Optional[str],
+    windows: Sequence[Window],
+    aggs: Sequence[AggSpec],
+    lateness_ms: int = 1000,
+    arrival_order: Optional[str] = None,
+    prefer_catalyst: bool = True,
+    force_kernel: bool = False,
+) -> DataFrame:
+    """Non-keyed (global) windowed aggregation — the batch analogue of the
+    reference's GlobalScottyWindowOperator (flink-connector/.../
+    GlobalScottyWindowOperator.java:15-71), which funnels the whole stream
+    through ONE slicing operator.
+
+    Spark-first tiers: with standard aggregates the Catalyst tier groups by
+    the window alone — partial aggregation happens map-side per partition,
+    so no single task ever sees the whole input. The kernel tier (custom
+    lift/combine/lower functions) routes through a constant key: exact
+    reference semantics, single-group by construction — like the
+    reference's own global operator, which is a single ProcessFunction
+    instance. At scale, invertible functions should instead go through the
+    salted two-level plan (plans.skew).
+
+    Output: (window_id, measure, w_start, w_end, <one column per agg>).
+    """
+    tagged = df.withColumn("_g", F.lit(1))
+    out = scotty_window_aggregate(
+        tagged, "_g", ts, value, windows, aggs, lateness_ms, arrival_order,
+        prefer_catalyst=prefer_catalyst, force_kernel=force_kernel,
+    )
+    return out.drop("_g")
 
 
 def _catalyst_aggs(aggs: Sequence[AggSpec], value: str):
@@ -237,90 +276,6 @@ def _fast_path_eligible(windows: Sequence[Window], aggs: Sequence[AggSpec]) -> b
     )
 
 
-def _vectorized_run(ts_ms, values, windows, aggs, final_wm):
-    fixed = [
-        w
-        for w in windows
-        if isinstance(w, (TumblingWindow, SlidingWindow)) and w.measure == WindowMeasure.TIME
-    ]
-    sessions = [w for w in windows if isinstance(w, SessionWindow)]
-    counts = [w for w in windows if isinstance(w, TumblingWindow) and w.measure == WindowMeasure.COUNT]
-
-    order = np.argsort(ts_ms, kind="stable")
-    ts_sorted = ts_ms[order]
-    vals = values[order].astype("float64")
-
-    rows = []
-    if fixed:
-        rows.extend(_vectorized_fixed_time(ts_sorted, vals, fixed, aggs, final_wm))
-    for w in sessions:
-        rows.extend(_vectorized_session(ts_sorted, vals, w, aggs, final_wm))
-    for w in counts:
-        rows.extend(_vectorized_count_tumbling(ts_sorted, vals, w, aggs))
-    return rows
-
-
-def _segment_values(vals, seg_starts, seg_ends, aggs):
-    """Per-segment aggregate vectors (segments non-empty, possibly
-    non-contiguous after emission filtering — so min/max slice directly)."""
-    csum = np.concatenate([[0.0], np.cumsum(vals)])
-    sums = csum[seg_ends] - csum[seg_starts]
-    cnts = (seg_ends - seg_starts).astype("int64")
-    fns = [factory() for _, _, factory in aggs]
-    out = []
-    for i in range(len(seg_starts)):
-        vals_i = []
-        for fn in fns:
-            if isinstance(fn, SumAggregation):
-                vals_i.append(float(sums[i]))
-            elif isinstance(fn, CountAggregation):
-                vals_i.append(int(cnts[i]))
-            elif isinstance(fn, MeanAggregation):
-                vals_i.append(float(sums[i] / cnts[i]) if cnts[i] else None)
-            elif isinstance(fn, MinAggregation):
-                vals_i.append(float(np.min(vals[seg_starts[i] : seg_ends[i]])))
-            elif isinstance(fn, MaxAggregation):
-                vals_i.append(float(np.max(vals[seg_starts[i] : seg_ends[i]])))
-        out.append(vals_i)
-    return out
-
-
-def _vectorized_session(ts_sorted, vals, w, aggs, final_wm):
-    """Gaps-and-islands: session boundaries where the ts gap exceeds `gap`.
-    Equals the kernel's SessionContext semantics for an in-order batch with
-    one flushing watermark (session end = last ts + gap)."""
-    gap = w.gap
-    brk = np.nonzero(np.diff(ts_sorted) > gap)[0]
-    seg_starts = np.concatenate([[0], brk + 1])
-    seg_ends = np.concatenate([brk + 1, [len(ts_sorted)]])
-    w_start = ts_sorted[seg_starts]
-    w_end = ts_sorted[seg_ends - 1] + gap
-    emit = w_end < final_wm
-    agg_rows = _segment_values(vals, seg_starts[emit], seg_ends[emit], aggs)
-    return [
-        [w.window_id, "time", int(s), int(e), *a]
-        for s, e, a in zip(w_start[emit], w_end[emit], agg_rows)
-    ]
-
-
-def _vectorized_count_tumbling(ts_sorted, vals, w, aggs):
-    """Positional count windows over event-time order. Matches the kernel's
-    flush semantics: windows with end <= total+1 are emitted, so the last
-    window may be partial exactly when total ≡ -1 (mod n)."""
-    n = w.size
-    total = len(ts_sorted)
-    n_windows = (total + 1) // n
-    if n_windows == 0:
-        return []
-    seg_starts = np.arange(n_windows) * n
-    seg_ends = np.minimum(seg_starts + n, total)
-    agg_rows = _segment_values(vals, seg_starts, seg_ends, aggs)
-    return [
-        [w.window_id, "count", int(k * n), int((k + 1) * n), *a]
-        for k, a in zip(range(n_windows), agg_rows)
-    ]
-
-
 def _kernel_run(pdf, ts_ms, value, windows, aggs, lateness_ms, final_wm):
     op = SlicingWindowOperator(max_lateness=lateness_ms)
     fns = [factory() for _, _, factory in aggs]
@@ -348,82 +303,4 @@ def _kernel_run(pdf, ts_ms, value, windows, aggs, lateness_ms, final_wm):
         for i in range(len(fns)):
             vals.append(fns[i].lower(w.agg_state.partials[i]) if w.agg_state.present[i] else None)
         rows.append([w.window_id, w.measure.value, w.start, w.end, *vals])
-    return rows
-
-
-def _vectorized_fixed_time(ts_ms, values, windows, aggs, final_wm):
-    """In-order numpy fast path for fixed (tumbling/sliding) time windows.
-
-    Slice edges are the union of every window's edge grid — computable by
-    expression (StreamSlicer's in-order path, StreamSlicer.java:50-86,
-    collapses to this) — so per-slice partials come from one
-    np.add.reduceat-style pass and each window combines a contiguous slice
-    range. Invertible functions (sum/count) use prefix sums: O(1) per
-    window instance regardless of size/slide ratio."""
-    ts_sorted = ts_ms  # pre-sorted by _vectorized_run
-    vals = values
-    lo, hi = int(ts_sorted[0]), int(ts_sorted[-1])
-
-    steps = sorted({(w.slide if isinstance(w, SlidingWindow) else w.size) for w in windows})
-    edges = np.unique(np.concatenate([np.arange((lo // s) * s, hi + s, s) for s in steps]))
-    # slice i covers [edges[i], edges[i+1])
-    slice_idx = np.searchsorted(edges, ts_sorted, side="right") - 1
-    starts = np.searchsorted(slice_idx, np.arange(len(edges)), side="left")
-    counts = np.diff(np.append(starts, len(ts_sorted)))
-
-    # segment sums via prefix sums (reduceat mishandles empty segments:
-    # a clipped trailing empty start index steals the previous segment's
-    # last element)
-    seg = np.append(starts, len(ts_sorted))
-    csum = np.concatenate([[0.0], np.cumsum(vals)])
-    sums = csum[seg[1:]] - csum[seg[:-1]]
-    cnts = counts.astype("int64")
-    psum = np.concatenate([[0.0], np.cumsum(sums)])
-    pcnt = np.concatenate([[0], np.cumsum(cnts)])
-
-    need_minmax = any(spec[2]().__class__ in (MinAggregation, MaxAggregation) for spec in aggs)
-    if need_minmax:
-        mins = np.full(len(edges), np.inf)
-        maxs = np.full(len(edges), -np.inf)
-        nz = counts > 0
-        if nz.any():
-            # consecutive non-empty segment starts are exact reduceat
-            # boundaries (empty segments contribute no indices)
-            nz_starts = seg[:-1][nz]
-            mins[nz] = np.minimum.reduceat(vals, nz_starts)
-            maxs[nz] = np.maximum.reduceat(vals, nz_starts)
-
-    rows = []
-    for w in windows:
-        size = w.size
-        step = w.slide if isinstance(w, SlidingWindow) else w.size
-        first_start = (lo // step) * step
-        # drop windows not fully covered by slices we materialised
-        w_starts = np.arange(max(first_start - size + step, 0 if lo >= 0 else first_start), hi + step, step)
-        w_starts = w_starts[(w_starts + size) <= final_wm]
-        if len(w_starts) == 0:
-            continue
-        si = np.searchsorted(edges, w_starts, side="left")
-        ei = np.searchsorted(edges, w_starts + size, side="left")
-        si = np.clip(si, 0, len(edges))
-        ei = np.clip(ei, 0, len(edges))
-        wsum = psum[ei] - psum[si]
-        wcnt = pcnt[ei] - pcnt[si]
-        keep = wcnt > 0
-        for pos in np.nonzero(keep)[0]:
-            s0, e0 = int(si[pos]), int(ei[pos])
-            out_vals = []
-            for name, _, factory in aggs:
-                fn = factory()
-                if isinstance(fn, SumAggregation):
-                    out_vals.append(float(wsum[pos]))
-                elif isinstance(fn, CountAggregation):
-                    out_vals.append(int(wcnt[pos]))
-                elif isinstance(fn, MeanAggregation):
-                    out_vals.append(float(wsum[pos] / wcnt[pos]))
-                elif isinstance(fn, MinAggregation):
-                    out_vals.append(float(mins[s0:e0].min()))
-                elif isinstance(fn, MaxAggregation):
-                    out_vals.append(float(maxs[s0:e0].max()))
-            rows.append([w.window_id, "time", int(w_starts[pos]), int(w_starts[pos] + size), *out_vals])
     return rows

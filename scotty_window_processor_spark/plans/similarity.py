@@ -40,7 +40,9 @@ def cosine_topk_bruteforce(
 
     The query side is broadcast (no shuffle of the corpus); score + rank
     happen JVM-side in whole-stage codegen. Output: (query_id, neighbor_id,
-    rank) — ties broken by neighbor id for determinism."""
+    rank) — ordered by cosine ROUNDED to 6 decimals with ties broken by
+    neighbor id, so the ranking is robust to last-ulp summation noise and
+    reproducible in the DuckDB oracle."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
@@ -53,7 +55,10 @@ def cosine_topk_bruteforce(
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", _dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm")))
+        .withColumn(
+            "cos",
+            F.round(_dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm")), 6),
+        )
     )
     ranked = scored.withColumn(
         "rank",
@@ -121,7 +126,12 @@ def cosine_topk_lsh(
     scored = (
         candidates.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .withColumn("cos", _dot(F.col("cvec"), F.col("qvec")) / (_norm(F.col("cvec")) * _norm(F.col("qvec"))))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("cvec"), F.col("qvec")) / (_norm(F.col("cvec")) * _norm(F.col("qvec"))), 6
+            ),
+        )
     )
     ranked = scored.withColumn(
         "rank",

@@ -24,13 +24,27 @@ from pyspark.sql import functions as F
 from ..operators.windows import SessionWindow, Window
 
 
-def with_salt(df: DataFrame, key: str, n_salts: int = 16, hot_keys: Optional[Sequence[str]] = None) -> DataFrame:
+def with_salt(
+    df: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    hot_keys: Optional[Sequence[str]] = None,
+    salt_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
     """Add a deterministic salt column: hot keys spread over ``n_salts``
     buckets, other keys keep salt 0 (no extra combine cost).
 
+    The salt is a pure function of row CONTENT (``salt_cols``, default all
+    columns) — never of partition position: a content hash survives task
+    retries and input re-splits, whereas position-derived salts
+    (monotonically_increasing_id) re-route rows on recomputation after a
+    fetch failure (SPARK-23207 class) and would double-count or lose rows
+    in any downstream exchange reuse.
+
     Without a hot-key list, all keys are salted — appropriate when key
     cardinality is low relative to executors."""
-    salt = F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(n_salts)).cast("int")
+    cols = list(salt_cols) if salt_cols is not None else list(df.columns)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts)).cast("int")
     if hot_keys is not None:
         salt = F.when(F.col(key).isin(list(hot_keys)), salt).otherwise(F.lit(0))
     return df.withColumn("_salt", salt)

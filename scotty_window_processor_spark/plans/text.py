@@ -94,13 +94,18 @@ def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5) -> DataFrame:
-    """Document fingerprint: min/max of a polynomial rolling hash over
-    word n-grams (winnowing-style content signature, robust to reordering
-    of unrelated docs; equal fingerprints ⇒ likely shared passages)."""
+    """Document fingerprint: min/max of a 60-bit content hash over word
+    n-grams (winnowing-style content signature, robust to reordering of
+    unrelated docs; equal fingerprints ⇒ likely shared passages).
+
+    Uses the portable md5-60 hash (plans.portable_hash) so the fingerprint
+    is bit-identical in the DuckDB oracle."""
+    from .portable_hash import md5_60
+
     words = _words(F.col(text_col))
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.xxhash64(F.array_join(F.slice(words, i + 1, n), " ")),
+        lambda i: md5_60(F.array_join(F.slice(words, i + 1, n), " ")),
     )
     return df.select(
         F.col(id_col),

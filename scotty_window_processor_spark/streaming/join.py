@@ -18,20 +18,24 @@ def tool_call_result_join(
     max_gap_seconds: int = 300,
     watermark_delay: str = "30 seconds",
 ) -> DataFrame:
-    """Match each tool-call turn with the tool-result turn that follows it
-    in the same conversation within ``max_gap_seconds``.
+    """Match each tool-result turn with the turn that triggered it — the
+    immediately preceding turn (``result_turn == call_turn + 1``) in the
+    same conversation within ``max_gap_seconds``.
 
-    Both sides are the transcripts stream filtered by role; the equi-key
-    (conv_id) plus the bounded ts range make this a watermark-expirable
-    stateful join. Output: one row per (call, result) pair with the gap.
+    Under the transcripts schema the tool name lives on the result
+    (role='tool') turn, so the one-to-one "call → tool-result" relation is
+    turn adjacency: the non-tool turn at ``result_turn - 1`` is the turn
+    whose request the tool answered. The equi-keys (conv_id, turn
+    adjacency) plus the bounded ts range make this a watermark-expirable
+    stateful join (state is O(rate × gap)). Output: one row per
+    (call, result) pair with the invoked tool and the call→result gap.
     """
     calls = (
-        transcripts.where(F.col("tool").isNotNull())
+        transcripts.where(F.col("role") != "tool")
         .withWatermark("ts", watermark_delay)
         .select(
             F.col("conv_id").alias("c_conv"),
             F.col("turn_idx").alias("call_turn"),
-            F.col("tool").alias("call_tool"),
             F.col("ts").alias("call_ts"),
         )
     )
@@ -41,12 +45,14 @@ def tool_call_result_join(
         .select(
             F.col("conv_id").alias("r_conv"),
             F.col("turn_idx").alias("result_turn"),
+            F.col("tool").alias("result_tool"),
             F.col("ts").alias("result_ts"),
         )
     )
     joined = calls.join(
         results,
         (F.col("c_conv") == F.col("r_conv"))
+        & (F.col("result_turn") == F.col("call_turn") + 1)
         & (F.col("result_ts") >= F.col("call_ts"))
         & (F.col("result_ts") <= F.col("call_ts") + F.expr(f"INTERVAL {max_gap_seconds} SECONDS")),
         "inner",
@@ -54,7 +60,7 @@ def tool_call_result_join(
     return joined.select(
         F.col("c_conv").alias("conv_id"),
         "call_turn",
-        "call_tool",
+        F.col("result_tool").alias("call_tool"),
         "result_turn",
         (F.unix_millis(F.col("result_ts").cast("timestamp")) - F.unix_millis(F.col("call_ts").cast("timestamp"))).alias("gap_ms"),
     )

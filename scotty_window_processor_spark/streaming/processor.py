@@ -165,3 +165,25 @@ def scotty_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def scotty_stream_global(
+    stream_df: DataFrame,
+    ts: str,
+    value: str | None,
+    windows: Sequence[Window],
+    aggs: Sequence[AggSpec],
+    watermark_delay: str = "30 seconds",
+    lateness_ms: int = 30_000,
+) -> DataFrame:
+    """Non-keyed streaming aggregation — the GlobalScottyWindowOperator
+    analogue (flink-connector/.../GlobalScottyWindowOperator.java:15-71):
+    every element flows through ONE slicing kernel via a constant grouping
+    key. Exactly like the reference's operator (a single ProcessFunction
+    instance), global state lives on one task; for high-rate global
+    windows with associative functions prefer the keyed operator plus a
+    downstream window-level combine."""
+    tagged = stream_df.withColumn("_g", F.lit(1))
+    return scotty_stream(
+        tagged, "_g", ts, value, windows, aggs, watermark_delay, lateness_ms
+    ).drop("_g")

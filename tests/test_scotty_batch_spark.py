@@ -104,11 +104,15 @@ def test_multiwindow_sharing_matches_two_catalyst_runs(spark, transcripts):
 
 def test_session_kernel_matches_catalyst(spark, transcripts):
     gap_ms = 120_000
+    # force_kernel pins the pure-Python slicing kernel (tier 3); without it
+    # session+Count routes to F.session_window and this would compare
+    # Catalyst to Catalyst
     kernel = scotty_window_aggregate(
         transcripts.withColumn("one", F.lit(1.0)),
         key="conv_id", ts="ts", value="one",
         windows=[SessionWindow(WindowMeasure.TIME, gap_ms)],
         aggs=[("turns", "double", CountAggregation)],
+        force_kernel=True,
     ).select("conv_id", "w_start", "w_end", "turns")
 
     catalyst = session_aggregate(

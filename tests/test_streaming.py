@@ -215,16 +215,22 @@ def test_stream_stream_interval_join(spark, transcript_files, tmp_path):
     q.stop()
     got = spark.table("join_out").collect()
     assert got, "stream-stream join produced no pairs"
+    # one-to-one pairing: each tool turn appears at most once
+    pairs = [(r["conv_id"], r["result_turn"]) for r in got]
+    assert len(pairs) == len(set(pairs)), "pairing is not one-to-one"
+    assert all(r["result_turn"] == r["call_turn"] + 1 for r in got)
+    assert all(r["call_tool"] is not None for r in got)
 
     # batch equivalent over the same files
     batch = spark.read.parquet(src_dir)
-    calls = batch.where(F.col("tool").isNotNull()).select(
+    calls = batch.where(F.col("role") != "tool").select(
         F.col("conv_id"), F.col("turn_idx").alias("call_turn"), F.col("ts").alias("call_ts"))
     results = batch.where(F.col("role") == "tool").select(
         F.col("conv_id").alias("r_conv"), F.col("turn_idx").alias("result_turn"), F.col("ts").alias("result_ts"))
     expected = (
         calls.join(results,
             (F.col("conv_id") == F.col("r_conv"))
+            & (F.col("result_turn") == F.col("call_turn") + 1)
             & (F.col("result_ts") >= F.col("call_ts"))
             & (F.col("result_ts") <= F.col("call_ts") + F.expr("INTERVAL 120 SECONDS")))
         .count()
