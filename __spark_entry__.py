@@ -194,6 +194,83 @@ def q_scotty_quantile_kernel(spark, sf_dir):
     return out.select("user_id", "w_start", "w_end", "n", F.round("median_value", 2).alias("median_value"))
 
 
+def q_scotty_payload_kernel(spark, sf_dir):
+    """The north-star transcript payload aggregates (tool-call tally +
+    per-role ordered text rollup) through the slicing KERNEL tier
+    (value=None record path, custom lift/combine/lower), oracle-gated.
+    The events table is projected into the transcript shape: event_type
+    plays role/tool, event_id is the stable turn order."""
+    _utc(spark)
+    from scotty_window_processor_spark.functions import (
+        CountAggregation,
+        RoleTextRollupString,
+        ToolTallyString,
+    )
+    from scotty_window_processor_spark.operators import TumblingWindow, WindowMeasure
+    from scotty_window_processor_spark.plans.scotty_batch import scotty_window_aggregate
+
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        F.col("event_type").alias("role"),
+        F.col("event_type").alias("tool"),
+        F.col("event_id").alias("turn_idx"),
+        F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("text"),
+    )
+    out = scotty_window_aggregate(
+        e, key="user_id", ts="ts", value=None,
+        windows=[TumblingWindow(WindowMeasure.TIME, 6 * SIZE_H)],
+        aggs=[
+            ("n", "long", CountAggregation),
+            ("tool_tally", "string", ToolTallyString),
+            ("role_rollup", "string", RoleTextRollupString),
+        ],
+        force_kernel=True,
+    )
+    return out.select("user_id", "w_start", "w_end", "n", "tool_tally", "role_rollup")
+
+
+def q_scotty_global_kernel(spark, sf_dir):
+    """Global (non-keyed) operator — GlobalScottyWindowOperator analogue —
+    with a custom quantile aggregate, so the single-kernel path itself is
+    oracle-gated."""
+    _utc(spark)
+    from scotty_window_processor_spark.functions import CountAggregation, QuantileAggregation
+    from scotty_window_processor_spark.operators import TumblingWindow, WindowMeasure
+    from scotty_window_processor_spark.plans.scotty_batch import scotty_global_aggregate
+
+    out = scotty_global_aggregate(
+        _events(spark, sf_dir), ts="ts", value="value",
+        windows=[TumblingWindow(WindowMeasure.TIME, 6 * SIZE_H)],
+        aggs=[("n", "long", CountAggregation), ("median_value", "double", QuantileAggregation)],
+    )
+    return out.select("w_start", "w_end", "n", F.round("median_value", 2).alias("median_value"))
+
+
+def q_count_sliding_50_25(spark, sf_dir):
+    """Count-measure SLIDING windows (size 50, slide 25) through the
+    kernel (count slices + positional trigger semantics, incl. the
+    reference's partial-tail emission when start+size <= total+2)."""
+    _utc(spark)
+    from scotty_window_processor_spark.functions import CountAggregation, SumAggregation
+    from scotty_window_processor_spark.operators import SlidingWindow, WindowMeasure
+    from scotty_window_processor_spark.plans.scotty_batch import scotty_window_aggregate
+
+    out = scotty_window_aggregate(
+        _events(spark, sf_dir), key="user_id", ts="ts", value="value",
+        windows=[SlidingWindow(WindowMeasure.COUNT, 50, 25)],
+        aggs=[("n", "long", CountAggregation), ("sum_value", "double", SumAggregation)],
+        arrival_order="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.col("w_start").alias("c_start"),
+        F.col("w_end").alias("c_end"),
+        "n",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
 def q_ordered_rollup(spark, sf_dir):
     """Ordered per-window rollup: event types concatenated in stable
     (ts, event_id) order — the RoleTextRollup shape ('per-turn text
@@ -358,6 +435,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scotty_multiwindow": q_scotty_multiwindow,
         "scotty_session_kernel": q_scotty_session_kernel,
         "scotty_quantile_kernel": q_scotty_quantile_kernel,
+        "scotty_payload_kernel": q_scotty_payload_kernel,
+        "scotty_global_kernel": q_scotty_global_kernel,
+        "count_sliding_50_25": q_count_sliding_50_25,
         "ordered_rollup": q_ordered_rollup,
         "salted_tumbling": q_salted_tumbling,
         "pricing_summary": q_pricing_summary,
@@ -475,6 +555,50 @@ SELECT user_id,
        round(quantile_disc(value, 0.5), 2) AS median_value
 FROM events
 GROUP BY user_id, time_bucket(INTERVAL '6 hours', ts)
+"""
+
+_PAYLOAD_KERNEL = """
+WITH t AS (
+  SELECT user_id, ts, event_type AS role, event_id AS turn_idx,
+         'e' || CAST(event_id AS VARCHAR) AS text,
+         epoch_ms(time_bucket(INTERVAL '6 hours', ts)) AS w_start
+  FROM events
+), per_role AS (
+  SELECT user_id, w_start, role,
+         string_agg(text, ';' ORDER BY turn_idx) AS seq,
+         count(*) AS cnt
+  FROM t GROUP BY user_id, w_start, role
+)
+SELECT user_id, w_start, w_start + 21600000 AS w_end,
+       sum(cnt) AS n,
+       string_agg(role || '=' || CAST(cnt AS VARCHAR), ',' ORDER BY role) AS tool_tally,
+       string_agg(role || ':' || seq, '|' ORDER BY role) AS role_rollup
+FROM per_role GROUP BY user_id, w_start
+"""
+
+_GLOBAL_KERNEL = """
+SELECT epoch_ms(time_bucket(INTERVAL '6 hours', ts)) AS w_start,
+       epoch_ms(time_bucket(INTERVAL '6 hours', ts)) + 21600000 AS w_end,
+       count(*) AS n,
+       round(quantile_disc(value, 0.5), 2) AS median_value
+FROM events GROUP BY 1
+"""
+
+_COUNT_SLIDING_50_25 = """
+WITH r AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn,
+         count(*) OVER (PARTITION BY user_id) AS total
+  FROM events
+), e AS (
+  SELECT user_id, value, (rn // 25 - j.j) AS k
+  FROM r, (SELECT unnest(range(2)) AS j) j
+  WHERE (rn // 25 - j.j) >= 0
+    AND (rn // 25 - j.j) * 25 + 50 <= total + 2
+)
+SELECT user_id, k * 25 AS c_start, k * 25 + 50 AS c_end,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM e GROUP BY user_id, k
 """
 
 _ORDERED_ROLLUP = """
@@ -818,6 +942,9 @@ def oracle_sql() -> dict[str, str]:
         "scotty_multiwindow": _MULTIWINDOW,
         "scotty_session_kernel": _SESSION_KERNEL,
         "scotty_quantile_kernel": _QUANTILE_KERNEL,
+        "scotty_payload_kernel": _PAYLOAD_KERNEL,
+        "scotty_global_kernel": _GLOBAL_KERNEL,
+        "count_sliding_50_25": _COUNT_SLIDING_50_25,
         "ordered_rollup": _ORDERED_ROLLUP,
         "salted_tumbling": _TUMBLING_1H,
         "pricing_summary": _PRICING_SUMMARY,

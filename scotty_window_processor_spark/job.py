@@ -43,6 +43,8 @@ def parse_window(spec: str):
         return SessionWindow(WindowMeasure.TIME, args[0], window_id)
     if kind == "count_tumbling":
         return TumblingWindow(WindowMeasure.COUNT, args[0], window_id)
+    if kind == "count_sliding":
+        return SlidingWindow(WindowMeasure.COUNT, args[0], args[1], window_id)
     raise ValueError(f"unknown window spec: {spec}")
 
 

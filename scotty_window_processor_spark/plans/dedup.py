@@ -34,6 +34,19 @@ def normalized_text(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition iff the input has fewer partitions than the cluster has
+    slots. CPU-heavy per-row projections (shingling, hashing, voting)
+    otherwise run at the SCAN's parallelism, and a small parquet file is a
+    single unsplittable row group → one task doing all the work. At real
+    scale inputs have >> slots splits and this is a metadata no-op; the
+    getNumPartitions() check is driver-side metadata, not a job."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup groups: md5 over normalized text; keeps the min id as
     the canonical representative. Output: one row per distinct content,
@@ -63,33 +76,50 @@ def word_shingles(text_col, n: int = 3):
     return F.array_distinct(F.slice(grams, F.lit(1), F.greatest(F.size(words) - n + 1, F.lit(1))))
 
 
-def shingle_hash_array(text_col, n: int = 3):
-    """Distinct 64-bit hashes of the word n-gram shingles, WITHOUT ever
-    materialising the shingle strings: xxhash64 over the word tuple
-    (Spark chains per-column hashes, so ('ab','c') and ('a','bc') cannot
-    alias). Each missing tail word hashes as NULL (skipped), which exactly
-    mirrors concat_ws dropping it — the distinct-hash set is 1:1 with the
-    distinct-string set of `word_shingles` up to 64-bit collisions (~1e-9
-    at 10^6 distinct shingles, and a collision only perturbs one
-    intersection count).
+def shingle_hash_docs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingles: array<long>) — distinct 64-bit hashes of the word
+    n-gram shingles, WITHOUT ever materialising the shingle strings.
 
-    This cuts the dominant dedup cost: no per-position string concat, no
-    string array_distinct, and the explode/join key drops from an ~n-word
-    string to 8 bytes."""
-    words = F.split(normalized_text(text_col), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - n + 1, F.lit(1)))
-    grams = F.transform(
-        idx, lambda i: F.xxhash64(*[F.try_element_at(words, i + k) for k in range(n)])
+    Each word is hashed ONCE into a materialised array column, then each
+    shingle hash combines n word hashes (xxhash64 chains per-argument, so
+    ('ab','c') and ('a','bc') cannot alias). A missing tail word is NULL
+    (skipped by xxhash64), exactly mirroring concat_ws dropping it — the
+    distinct-hash set is 1:1 with `word_shingles`' distinct-string set up
+    to 64-bit collisions (~1e-9 at 10^6 distinct shingles; a collision
+    only perturbs one intersection count).
+
+    The three projection steps are deliberate: referencing split()/
+    transform() results from inside another lambda re-evaluates them per
+    array ELEMENT (no cross-expression CSE inside codegen HOFs — 6×
+    end-to-end, measured); as materialised attribute columns they are
+    evaluated once per row."""
+    words = df.select(
+        F.col(id_col).alias("id"), F.split(normalized_text(F.col(text_col)), " ").alias("w")
     )
-    return F.array_distinct(grams)
+    hashed = words.select("id", F.transform("w", lambda x: F.xxhash64(x)).alias("wh"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("wh") - n + 1, F.lit(1))),
+        lambda i: F.xxhash64(*[F.try_element_at(F.col("wh"), i + k) for k in range(n)]),
+    )
+    return hashed.select("id", F.array_distinct(grams).alias("shingles"))
 
 
-def portable_shingle_hashes(text_col, n: int = 3):
-    """Distinct 60-bit PORTABLE hashes of the word n-gram shingles
+def portable_shingle_docs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingles: array<long>) — distinct 60-bit PORTABLE hashes
     (md5-60 of the shingle string) — used where the output must be
-    reproducible in the DuckDB oracle (MinHash/LSH)."""
-    return F.array_distinct(
-        F.transform(word_shingles(text_col, n), lambda s: md5_60(s))
+    reproducible in the DuckDB oracle (MinHash/LSH). Same stepped-
+    projection shape as shingle_hash_docs (one split, one gram build, one
+    md5 pass — never re-evaluated per element)."""
+    words = df.select(
+        F.col(id_col).alias("id"), F.split(normalized_text(F.col(text_col)), " ").alias("w")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("w") - n + 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", *[F.try_element_at(F.col("w"), i + k) for k in range(n)]),
+    )
+    strs = words.select("id", grams.alias("g"))
+    return strs.select(
+        "id", F.array_distinct(F.transform("g", lambda s: md5_60(s))).alias("shingles")
     )
 
 
@@ -109,14 +139,23 @@ def dedup_ngram_jaccard(
     (default 50) drops shingles occurring in more than that many docs —
     mandatory at scale (a stop-word shingle otherwise generates O(df²)
     candidate pairs); the oracle applies the identical df filter."""
-    docs = df.select(
-        F.col(id_col).alias("id"), shingle_hash_array(F.col(text_col), n).alias("shingles")
-    ).withColumn("n_sh", F.size("shingles"))
+    docs = shingle_hash_docs(spread(df), id_col, text_col, n).withColumn(
+        "n_sh", F.size("shingles")
+    )
 
     exploded = docs.select("id", "n_sh", F.explode("shingles").alias("sh"))
     if max_shingle_df is not None:
-        freq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
-        exploded = exploded.join(freq.where(F.col("df_") <= max_shingle_df), "sh").drop("df_")
+        # anti-join against the HOT shingles only: the over-cap list is a
+        # few rows (broadcast, no shuffle of the exploded side), vs an
+        # inner join with the full ≤cap frequency table (which would
+        # shuffle every exploded row a second time)
+        hot = (
+            exploded.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .where(F.col("df_") > max_shingle_df)
+            .select("sh")
+        )
+        exploded = exploded.join(F.broadcast(hot), "sh", "left_anti")
 
     a = exploded.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "sh")
     b = exploded.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "sh")
@@ -142,10 +181,11 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = 32, n
     cheap modular transforms in one projection (whole-stage codegen) and
     one hash aggregate of k mins per doc."""
     params = minhash_params(k)
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(portable_shingle_hashes(F.col(text_col), n)).alias("h"),
-    ).withColumn("hm", F.pmod(F.col("h"), F.lit(MINHASH_P)))
+    exploded = (
+        portable_shingle_docs(spread(df), id_col, text_col, n)
+        .select("id", F.explode("shingles").alias("h"))
+        .withColumn("hm", F.pmod(F.col("h"), F.lit(MINHASH_P)))
+    )
     mins = exploded.groupBy("id").agg(
         *[
             F.min(F.pmod(F.col("hm") * F.lit(a) + F.lit(b), F.lit(MINHASH_P))).alias(f"h{i}")
@@ -213,9 +253,7 @@ def dedup_minhash_lsh(
     # arrays. The candidate set is tiny relative to the corpus and
     # Catalyst pushes the candidate-id join below the projection, so the
     # shingle arrays are only (re)computed for candidate docs.
-    docs = df.select(
-        F.col(id_col).alias("id"), portable_shingle_hashes(F.col(text_col), n).alias("shingles")
-    )
+    docs = portable_shingle_docs(df, id_col, text_col, n)
     verified = (
         candidates.join(docs.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(docs.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
@@ -236,23 +274,33 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
 
     bit b of simhash = 1 iff Σ_words sign(bit b of md5_60(word)) > 0.
     md5-60 (plans.portable_hash) keeps every bit reproducible in the
-    DuckDB oracle; duplicate words vote with multiplicity on both sides."""
-    words = F.split(normalized_text(F.col(text_col)), " ")
-    hashes = F.transform(words, lambda w: md5_60(w))
+    DuckDB oracle; duplicate words vote with multiplicity on both sides.
 
-    def vote_for_bit(b):
-        # closure factory: extra default-arg lambda parameters change the
-        # arity pyspark inspects and break higher-order functions
-        mask = F.lit(1 << b)
-        return F.aggregate(
-            hashes, F.lit(0), lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
-        )
-
+    Plan shape: explode(words) → ONE md5 per word in a projection →
+    60 conditional sums in one hash aggregate (map-side partials before
+    the shuffle). The md5 must be materialised in its own projection:
+    referencing it from all 60 vote expressions would re-evaluate it 60×
+    per word (no cross-expression CSE in codegen — measured 10×
+    end-to-end)."""
+    words = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("word"),
+    )
+    hashed = words.select("id", md5_60(F.col("word")).alias("wh"))
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("wh").bitwiseAND(F.lit(1 << b)) != 0, F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
     sim = None
     for b in range(bits):
-        bit = F.when(vote_for_bit(b) > 0, F.lit(1 << b)).otherwise(F.lit(0).cast("long"))
-        sim = bit if sim is None else sim.bitwiseOR(bit)
-    return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+        # disjoint bit positions: sum == bitwise OR
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim + bit
+    return votes.select("id", sim.alias("simhash"))
 
 
 def dedup_simhash(

@@ -176,3 +176,23 @@ def test_vectorized_session_and_count_match_kernel(spark, transcripts):
         assert norm(fast) == norm(slow)
     finally:
         sb._fast_path_eligible = orig
+
+
+def test_global_aggregate_catalyst_vs_kernel(spark, transcripts):
+    """Non-keyed (GlobalScottyWindowOperator analogue): the Catalyst tier
+    (groupBy(window) only, map-side partials) and the single-kernel tier
+    must produce identical global windows."""
+    from scotty_window_processor_spark.plans.scotty_batch import scotty_global_aggregate
+
+    df = transcripts.withColumn("v", F.col("turn_idx").cast("double"))
+    args = dict(
+        ts="ts", value="v",
+        windows=[TumblingWindow(WindowMeasure.TIME, 600_000, window_id=1)],
+        aggs=[("n", "long", CountAggregation), ("s", "double", SumAggregation)],
+    )
+    fast = scotty_global_aggregate(df, **args).select("w_start", "w_end", "n", "s")
+    slow = scotty_global_aggregate(df, **args, force_kernel=True).select(
+        "w_start", "w_end", "n", "s")
+    norm = lambda d: sorted(tuple(r) for r in d.collect())
+    a, b = norm(fast), norm(slow)
+    assert a and a == b

@@ -130,3 +130,37 @@ def test_out_of_order(op):
     assert r[4].agg_values()[0] == 2  # 25 - 35
     assert r[5].agg_values()[0] == 3  # 20 - 30
     assert r[6].agg_values()[0] == 2  # 15 - 25
+
+
+def test_count_sliding_in_order(op):
+    """Count-measure sliding windows (size 4, slide 2): positional windows
+    over arrival order, kernel-derived semantics — the partial tail window
+    emits when start+size <= total+2 (SlidingWindow.trigger_windows uses
+    current_watermark + 1, translated to the count horizon c_last + 1)."""
+    op.add_window(SlidingWindow(WindowMeasure.COUNT, 4, 2))
+    for i in range(10):
+        op.process_element(i + 1, i * 10)
+    r = op.process_watermark(1000)
+    got = {(w.start, w.end): w.agg_values()[0] for w in r if w.has_value}
+    assert got == {
+        (0, 4): 10,   # 1+2+3+4
+        (2, 6): 18,   # 3+4+5+6
+        (4, 8): 26,
+        (6, 10): 34,
+        (8, 12): 19,  # partial tail: 9+10
+    }
+
+
+def test_count_sliding_equals_count_tumbling_when_slide_is_size():
+    a = SlicingWindowOperator()
+    a.add_aggregation(PyReduce(lambda x, y: x + y))
+    a.add_window(SlidingWindow(WindowMeasure.COUNT, 4, 4))
+    b = SlicingWindowOperator()
+    b.add_aggregation(PyReduce(lambda x, y: x + y))
+    b.add_window(TumblingWindow(WindowMeasure.COUNT, 4))
+    for i in range(9):
+        a.process_element(i + 1, i * 10)
+        b.process_element(i + 1, i * 10)
+    ra = {(w.start, w.end, w.agg_values()[0]) for w in a.process_watermark(500) if w.has_value}
+    rb = {(w.start, w.end, w.agg_values()[0]) for w in b.process_watermark(500) if w.has_value}
+    assert ra == rb

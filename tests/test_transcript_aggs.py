@@ -81,3 +81,30 @@ def test_sparse_key_gap_exceeding_lateness_keeps_records():
         (100_010, 100_020): (7, 2),
         (150_020, 150_030): (5, 1),
     }
+
+
+def test_string_canonical_payload_aggregates():
+    """ToolTallyString / RoleTextRollupString: same partials, canonical
+    hash-stable string lower() (the oracle-gated forms)."""
+    from scotty_window_processor_spark.functions import (
+        RoleTextRollupString,
+        ToolTallyString,
+    )
+
+    op = SlicingWindowOperator()
+    op.add_aggregation(ToolTallyString())
+    op.add_aggregation(RoleTextRollupString())
+    op.add_window(TumblingWindow(WindowMeasure.TIME, 100))
+    turns = [
+        (turn(0, "user", "hi"), 10),
+        (turn(2, "tool", "result-a", tool="search"), 30),
+        (turn(1, "assistant", "hello"), 20),  # out-of-order by ts
+        (turn(3, "tool", "result-b", tool="exec"), 40),
+    ]
+    for element, ts in turns:
+        op.process_element(element, ts)
+    (w,) = [w for w in op.process_watermark(1000) if w.has_value]
+    tally, rollup = w.agg_values()
+    assert tally == "exec=1,search=1"
+    # roles sorted; texts in turn_idx order regardless of arrival order
+    assert rollup == "assistant:hello|tool:result-a;result-b|user:hi"
