@@ -81,6 +81,106 @@ def transcripts_throughput(spark, n_convs: int = 2000, turns_per_conv: int = 200
     return dt, n_turns, n_windows
 
 
+def streaming_probe(spark, n_convs: int = 300, turns_per_conv: int = 100, n_files: int = 24):
+    """Streaming flagship probe: transcripts replayed as one file per
+    micro-batch through the stateful slicing operator. Reports operator
+    throughput and EMISSION LATENCY percentiles (BASELINE.json metric):
+    for each emitted window, latency = emit wall-clock minus the trigger
+    start of the first micro-batch whose event-time watermark passed the
+    window end — i.e. how long after a window became emittable the
+    operator actually emitted it."""
+    import shutil
+    import tempfile
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scotty_window_processor_spark.functions import CountAggregation, SumAggregation
+    from scotty_window_processor_spark.operators import SessionWindow, TumblingWindow, WindowMeasure
+    from scotty_window_processor_spark.sources import synthesize_transcripts, transcripts_schema
+    from scotty_window_processor_spark.streaming.processor import scotty_stream
+
+    from pyspark.sql import functions as F
+
+    src = tempfile.mkdtemp(prefix="scotty_stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="scotty_stream_ckpt_")
+    try:
+        pdf = (
+            synthesize_transcripts(spark, n_convs=n_convs, turns_per_conv=turns_per_conv,
+                                   n_hot_convs=2, hot_factor=10)
+            .withColumn("is_tool", F.col("tool").isNotNull().cast("double"))
+            .toPandas().sort_values("ts")
+        )
+        n_rows = len(pdf)
+        chunk = (n_rows + n_files - 1) // n_files
+        for i in range(n_files):
+            part = pdf.iloc[i * chunk : (i + 1) * chunk]
+            if len(part):
+                tbl = pa.Table.from_pandas(part, preserve_index=False)
+                tbl = tbl.set_column(
+                    tbl.schema.get_field_index("ts"), "ts",
+                    tbl.column("ts").cast(pa.timestamp("us")),
+                )
+                tmp = f"{src}/.tmp-{i:04d}"
+                pq.write_table(tbl, tmp)
+                import os as _os
+                _os.rename(tmp, f"{src}/{i:04d}.parquet")
+
+        schema = transcripts_schema().add("is_tool", "double")
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        result = scotty_stream(
+            stream, key="conv_id", ts="ts", value="is_tool",
+            windows=[
+                TumblingWindow(WindowMeasure.TIME, 600_000, window_id=1),
+                SessionWindow(WindowMeasure.TIME, 300_000, window_id=3),
+            ],
+            aggs=[("turns", "long", CountAggregation), ("tool_calls", "double", SumAggregation)],
+            watermark_delay="30 seconds", lateness_ms=30_000,
+        )
+        t0 = time.time()
+        q = (
+            result.writeStream.format("memory").queryName("bench_stream_out")
+            .option("checkpointLocation", ckpt).outputMode("append").start()
+        )
+        q.processAllAvailable()
+        wall = time.time() - t0
+
+        def iso_ms(s):
+            return int(datetime.fromisoformat(s.replace("Z", "+00:00"))
+                       .astimezone(timezone.utc).timestamp() * 1000)
+
+        batches = []  # (trigger_start_ms, watermark_ms)
+        for p in q.recentProgress:
+            wm = (p.get("eventTime") or {}).get("watermark")
+            if wm:
+                batches.append((iso_ms(p["timestamp"]), iso_ms(wm)))
+        q.stop()
+        batches.sort()
+        out = spark.table("bench_stream_out").select("w_end", "emit_ts").collect()
+        lats = []
+        for r in out:
+            eligible = next((start for start, wm in batches if wm > r["w_end"]), None)
+            if eligible is not None and r["emit_ts"] >= eligible:
+                lats.append(r["emit_ts"] - eligible)
+        lats.sort()
+        pct = lambda p: lats[min(len(lats) - 1, int(p * len(lats)))] if lats else None
+        return {
+            "stream_turns": n_rows,
+            "windows_emitted": len(out),
+            "micro_batches": len(batches),
+            "wall_sec": round(wall, 3),
+            "turns_per_sec": round(n_rows / wall, 1),
+            "emit_latency_p50_ms": pct(0.50),
+            "emit_latency_p99_ms": pct(0.99),
+        }
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def main():
     spark = build_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -106,9 +206,12 @@ def main():
     dt, n_turns, n_windows = transcripts_throughput(spark)
     timings["transcripts_multiwindow"] = round(dt, 3)
 
+    streaming = streaming_probe(spark)
+    timings["streaming_probe"] = streaming["wall_sec"]
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     result = {
-        "metric": "headline-query wall time + transcript windowed-agg throughput",
+        "metric": "headline-query wall time + transcript windowed-agg throughput + streaming p99 emission latency",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
@@ -118,6 +221,7 @@ def main():
             "windows_emitted": n_windows,
             "turns_per_sec": round(n_turns / dt, 1),
         },
+        "streaming": streaming,
         "parallelism": int(CPUS),
     }
     print(json.dumps(result))

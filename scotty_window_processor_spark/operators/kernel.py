@@ -576,6 +576,93 @@ class SlicingWindowOperator:
         left.type = Flexible()
         self.store.insert(index + 1, right)
 
+    # -- bulk in-order path -----------------------------------------------
+    def bulk_eligible(self) -> bool:
+        """The vectorized in-order path applies when slice record buffers
+        are not needed (no count windows) and every partial is a plain
+        numpy reduction (checked by the caller against the function
+        types)."""
+        return not self.has_count_measure and self.has_time_measure
+
+    def process_in_order_bulk(self, values, ts_arr, lift_kinds: Sequence[str]) -> None:
+        """Vectorized exact-parity insert of an IN-ORDER run.
+
+        Preconditions (caller-enforced): ``ts_arr`` sorted ascending,
+        ``ts_arr[0] >= self._max_event_time`` (in-order w.r.t. operator
+        state), ``bulk_eligible()``, and ``lift_kinds[i]`` ∈
+        {sum,count,min,max,mean} for every registered function.
+
+        Equivalence argument (this is the reference's in-order fast path,
+        StreamSlicer.java:50-86, in segment form): a sequential
+        ``process_element`` can only change slice/session structure at an
+        element that (a) crosses a fixed window-grid edge since the
+        previous element, or (b) opens a session gap (te ≥ prev + gap).
+        The break set computed below is a SUPERSET of those elements (a
+        false positive only routes one more element through the exact
+        per-element path), so every non-break element reduces to
+        "append into the current slice + extend the open sessions" —
+        which is what the numpy segment reduction applies in bulk.
+        """
+        import numpy as np
+
+        n = len(ts_arr)
+        if n == 0:
+            return
+        breaks = np.zeros(n, dtype=bool)
+        breaks[0] = True
+        prev = ts_arr[:-1]
+        cur = ts_arr[1:]
+        for w in self.context_free:
+            if w.measure != WindowMeasure.TIME:
+                continue
+            g = w.slide if isinstance(w, SlidingWindow) else w.size
+            breaks[1:] |= (cur // g) * g > prev
+        for ctx in self.contexts:
+            breaks[1:] |= cur >= prev + ctx.gap
+
+        seg_starts = np.nonzero(breaks)[0]
+        seg_ends = np.concatenate([seg_starts[1:], [n]])
+        for s, e in zip(seg_starts.tolist(), seg_ends.tolist()):
+            # the exact path handles edge/section/bootstrap bookkeeping
+            self.process_element(values[s], int(ts_arr[s]))
+            if e - s <= 1:
+                continue
+            seg = values[s + 1 : e]
+            last_ts = int(ts_arr[e - 1])
+            slc = self.store[len(self.store) - 1]
+            state = slc.agg_state
+            cnt = e - s - 1
+            for i, kind in enumerate(lift_kinds):
+                if kind == "sum":
+                    lifted = float(seg.sum())
+                elif kind == "count":
+                    lifted = cnt
+                elif kind == "min":
+                    lifted = float(seg.min())
+                elif kind == "max":
+                    lifted = float(seg.max())
+                else:  # mean
+                    lifted = (float(seg.sum()), cnt)
+                if not state.present[i] or state.partials[i] is None:
+                    state.partials[i] = lifted
+                    state.present[i] = True
+                else:
+                    state.partials[i] = state.functions[i].combine(state.partials[i], lifted)
+            slc.t_last = max(slc.t_last, last_ts)
+            slc.t_first = min(slc.t_first, int(ts_arr[s + 1]))
+            slc.c_last += cnt
+            self.current_count += cnt
+            self._max_event_time = max(self._max_event_time, last_ts)
+            for ctx in self.contexts:
+                # in-order: each element extends the LAST active session;
+                # the net effect of the per-element extends is one
+                # shift-end to the segment's last timestamp (shiftEnd
+                # records no modification — WindowContext.java:62-65)
+                if ctx.active_windows:
+                    w = ctx.active_windows[-1]
+                    if w.end < last_ts:
+                        w.end = last_ts
+
     def seed_watermark(self, watermark_ts: int) -> None:
         """Pin the initial lastWatermark (batch/stream adapters call this
         with min event ts − 1). Without it the first process_watermark

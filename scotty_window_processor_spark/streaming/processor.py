@@ -14,11 +14,13 @@ event-time watermark, and emits the triggered windows. Spark's watermark
 (`GroupState.getCurrentWatermarkMs`) replaces Flink's
 `ctx.timerService().currentWatermark()`; state timeout cleans up idle keys.
 
-State encoding: the kernel state (slices + partials + session contexts) is
-pickled into a single BinaryType state column. Partials are small (one
-value per slice per function); record buffers exist only when count
-windows are registered — the same eager/lazy footprint switch as the
-reference (SliceFactory.java:17-22).
+State encoding: TYPED Arrow structs (streaming.state_codec) whenever the
+function/window mix allows — scalars + array<struct> slices/sessions in
+the state column, no Python object graph in the state store. Custom
+lift/combine/lower functions and count-measure windows (which need raw
+record buffers) keep the single pickled BinaryType cell — the same
+eager/lazy footprint switch as the reference (SliceFactory.java:17-22),
+made explicit by `typed_state_eligible`.
 """
 
 from __future__ import annotations
@@ -33,13 +35,60 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..functions import AggregateFunction
+from ..functions import (
+    AggregateFunction,
+    CountAggregation,
+    MaxAggregation,
+    MeanAggregation,
+    MinAggregation,
+    SumAggregation,
+)
 from ..operators.kernel import SlicingWindowOperator
-from ..operators.windows import Window
+from ..operators.windows import Window, WindowMeasure
 
-STATE_SCHEMA = "kernel binary"
+STATE_SCHEMA = "kernel binary"  # pickle fallback (custom fns / count windows)
 
 AggSpec = Tuple[str, str, Callable[[], AggregateFunction]]
+
+_BULK_KINDS = {
+    SumAggregation: "sum",
+    CountAggregation: "count",
+    MinAggregation: "min",
+    MaxAggregation: "max",
+    MeanAggregation: "mean",
+}
+
+
+def _bulk_kinds(aggs: Sequence[AggSpec]) -> list[str] | None:
+    """numpy lift kinds for the vectorized in-order path, or None if any
+    function needs the generic lift/combine path."""
+    kinds = []
+    for _, _, factory in aggs:
+        k = _BULK_KINDS.get(type(factory()))
+        if k is None:
+            return None
+        kinds.append(k)
+    return kinds
+
+
+def feed_sorted_batch(op: SlicingWindowOperator, elements, ts_ms, bulk_kinds) -> None:
+    """Feed one ts-sorted micro-batch into a kernel: the out-of-order
+    prefix (before the operator's event-time frontier) takes the exact
+    per-element surgery path, the in-order suffix takes the vectorized
+    bulk path (the reference's StreamSlicer.java:50-51 in-order branch,
+    in segment form). Falls back to the per-element loop when the
+    function/window mix is not numpy-reducible."""
+    if bulk_kinds is not None and op.bulk_eligible():
+        import numpy as np
+
+        frontier = op._max_event_time
+        split = int(np.searchsorted(ts_ms, max(frontier, ts_ms[0]), side="left"))
+        for j in range(split):
+            op.process_element(elements[j], int(ts_ms[j]))
+        op.process_in_order_bulk(elements[split:], ts_ms[split:], bulk_kinds)
+    else:
+        for element, t in zip(elements, ts_ms.tolist()):
+            op.process_element(element, int(t))
 
 
 def output_schema(key_name: str, key_type: T.DataType, aggs: Sequence[AggSpec]) -> T.StructType:
@@ -56,6 +105,30 @@ def output_schema(key_name: str, key_type: T.DataType, aggs: Sequence[AggSpec]) 
     )
 
 
+def typed_state_eligible(windows: Sequence[Window], aggs: Sequence[AggSpec], value_col) -> bool:
+    """Typed (Arrow-struct) state covers time-measure windows with
+    numpy-reducible functions over a value column — the hot path. Count
+    windows (per-slice record buffers) and custom lift/combine/lower
+    partials keep the pickled-kernel state cell, explicitly."""
+    return (
+        value_col is not None
+        and _bulk_kinds(aggs) is not None
+        and all(w.measure == WindowMeasure.TIME for w in windows)
+    )
+
+
+def typed_state_schema(n_fns: int) -> T.StructType:
+    from .state_codec import SCALARS_DDL, SESSION_DDL, slice_ddl
+
+    return T.StructType(
+        [
+            T.StructField("scalars", T._parse_datatype_string(SCALARS_DDL)),
+            T.StructField("sessions", T.ArrayType(T._parse_datatype_string(SESSION_DDL))),
+            T.StructField("slices", T.ArrayType(T._parse_datatype_string(slice_ddl(n_fns)))),
+        ]
+    )
+
+
 def make_handler(
     key_name: str,
     ts_col: str,
@@ -67,8 +140,13 @@ def make_handler(
 ):
     """Build the applyInPandasWithState handler (pure function of config —
     shippable to executors via --py-files)."""
+    from .state_codec import decode_op, encode_op
+
     window_defs = list(windows)
     agg_specs = list(aggs)
+
+    bulk_kinds = _bulk_kinds(agg_specs) if value_col is not None else None
+    typed = typed_state_eligible(window_defs, agg_specs, value_col)
 
     def new_op() -> SlicingWindowOperator:
         op = SlicingWindowOperator(max_lateness=lateness_ms)
@@ -86,10 +164,13 @@ def make_handler(
         # keys with no fresh data — the reference instead loops over all
         # keys on every watermark advance (KeyedScottyWindowOperator
         # .java:65-78), which a distributed state store cannot do.
+        op = new_op()
         if state.exists:
-            op: SlicingWindowOperator = pickle.loads(state.get[0])
-        else:
-            op = new_op()
+            if typed:
+                scalars, sessions, slices = state.get
+                decode_op(op, bulk_kinds, scalars, sessions, slices)
+            else:
+                op = pickle.loads(state.get[0])
 
         import time as _time
 
@@ -104,8 +185,8 @@ def make_handler(
                 elements = pdf[value_col].to_numpy()
             else:
                 elements = pdf.to_dict("records")
-            for element, t in zip(elements, ts_ms.tolist()):
-                op.process_element(element, int(t))
+
+            feed_sorted_batch(op, elements, ts_ms, bulk_kinds)
 
         wm = state.getCurrentWatermarkMs()
         rows = []
@@ -126,7 +207,10 @@ def make_handler(
             # nothing pending and no positional counters to preserve
             state.remove()
         else:
-            state.update((pickle.dumps(op),))
+            if typed:
+                state.update(encode_op(op, bulk_kinds))
+            else:
+                state.update((pickle.dumps(op),))
             # wake when the watermark passes the next possible emission
             state.setTimeoutTimestamp(max(nxt if nxt is not None else wm + 1, wm + 1))
 
@@ -154,13 +238,18 @@ def scotty_stream(
     handler = make_handler(
         key, ts, value, windows, aggs, lateness_ms, [f.name for f in schema.fields]
     )
+    state_schema = (
+        typed_state_schema(len(aggs))
+        if typed_state_eligible(windows, aggs, value)
+        else STATE_SCHEMA
+    )
     return (
         stream_df.withWatermark(ts, watermark_delay)
         .groupBy(key)
         .applyInPandasWithState(
             handler,
             outputStructType=schema,
-            stateStructType=STATE_SCHEMA,
+            stateStructType=state_schema,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

@@ -238,3 +238,45 @@ def test_stream_stream_interval_join(spark, transcript_files, tmp_path):
     # streaming inner interval join emits pairs as both sides arrive; with
     # all data within watermark reach it must equal the batch join
     assert len(got) == expected
+
+
+def test_pickle_fallback_for_custom_aggregate(spark, transcript_files, tmp_path):
+    """A custom lift/combine/lower function (exact quantile) is not
+    typed-state eligible — it must route through the pickled-kernel state
+    cell and still match the batch kernel recompute."""
+    from scotty_window_processor_spark.functions import QuantileAggregation
+    from scotty_window_processor_spark.streaming.processor import typed_state_eligible
+
+    aggs = [("turns", "long", CountAggregation), ("med", "double", QuantileAggregation)]
+    windows = [TumblingWindow(WindowMeasure.TIME, 600_000, window_id=1)]
+    assert not typed_state_eligible(windows, aggs, "turn_idx")
+
+    src_dir, pdf = transcript_files
+    result = scotty_stream(
+        _read_stream(spark, src_dir, files_per_trigger=2), key="conv_id", ts="ts",
+        value="turn_idx", windows=windows, aggs=aggs,
+        watermark_delay="30 seconds", lateness_ms=30_000,
+    )
+    q = (
+        result.writeStream.format("memory").queryName("pickle_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pickle"))
+        .outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["conv_id"], r["w_start"], r["w_end"], r["turns"], r["med"])
+        for r in spark.table("pickle_out").collect()
+    }
+    assert got, "pickle-state stream emitted nothing"
+
+    batch = scotty_window_aggregate(
+        spark.read.parquet(src_dir), key="conv_id", ts="ts", value="turn_idx",
+        windows=windows, aggs=aggs, lateness_ms=30_000,
+    )
+    final_wm = int(pdf["ts"].max().value // 10**6) - 30_000
+    expected = {
+        (r["conv_id"], r["w_start"], r["w_end"], r["turns"], r["med"])
+        for r in batch.collect() if r["w_end"] < final_wm
+    }
+    assert expected - got == set(), f"missing {len(expected - got)}"
