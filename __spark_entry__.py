@@ -420,10 +420,31 @@ def q_ann_cosine_lsh(spark, sf_dir):
     return cosine_topk_lsh(emb, emb.where(F.col("vec_id") < 5), k=10, dim=EMB_DIM)
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: LSH candidate generation +
+    exact cosine verify (same hyperplane family as ann_cosine_lsh, so the
+    oracle replays it bit-for-bit)."""
+    from scotty_window_processor_spark.plans.similarity import embedding_near_dup
+
+    return embedding_near_dup(_emb(spark, sf_dir), threshold=0.2, dim=EMB_DIM)
+
+
 def q_multimodal_decode(spark, sf_dir):
     from scotty_window_processor_spark.plans.multimodal import attach_binary_payload, decode_metadata
 
     return decode_metadata(attach_binary_payload(_docs(spark, sf_dir)))
+
+
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling fan-out over the decoded metadata (one row per
+    sampled frame index, partition-local explode)."""
+    from scotty_window_processor_spark.plans.multimodal import (
+        attach_binary_payload,
+        decode_metadata,
+        frame_sample,
+    )
+
+    return frame_sample(decode_metadata(attach_binary_payload(_docs(spark, sf_dir))), every_n=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -454,7 +475,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
         "multimodal_decode": q_multimodal_decode,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -911,6 +934,53 @@ SELECT query_id, neighbor_id, "rank" FROM ranked WHERE "rank" <= {k}
 """
 
 
+def _near_dup_sql(threshold: float = 0.2, dim: int = 64, planes_per_table: int = 10, tables: int = 6) -> str:
+    """embedding_near_dup replay: same hyperplanes, all-pairs-in-bucket
+    candidates, exact cosine verify."""
+    from scotty_window_processor_spark.plans.similarity import _hyperplane
+
+    sig_terms = []
+    for t in range(tables):
+        bits = " + ".join(
+            f"(CASE WHEN list_inner_product(v, {_hyperplane(dim, t * planes_per_table + p)!r}"
+            f"::DOUBLE[]) > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(planes_per_table)
+        )
+        sig_terms.append(f"SELECT id, {t} AS tbl, {bits} AS bucket FROM vecs")
+    buckets = "\n  UNION ALL\n  ".join(sig_terms)
+    return f"""
+WITH vecs AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+), buckets AS (
+  {buckets}
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.id < b.id
+), scored AS (
+  SELECT cand.id_a, cand.id_b,
+         round(list_inner_product(va.v, vb.v)
+               / (sqrt(list_inner_product(va.v, va.v)) * sqrt(list_inner_product(vb.v, vb.v))),
+               6) AS cos
+  FROM cand JOIN vecs va ON cand.id_a = va.id JOIN vecs vb ON cand.id_b = vb.id
+)
+SELECT id_a, id_b, cos FROM scored WHERE cos >= {threshold}
+"""
+
+
+_FRAME_SAMPLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n,
+         CASE ({_md5_60_sql('doc_id::VARCHAR')} % 3) + 1
+              WHEN 1 THEN 'image/png' WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS media
+  FROM documents
+)
+SELECT doc_id, unnest(range(0, 1 + n % 120, 10)) AS frame_idx
+FROM t WHERE media = 'video/mp4'
+"""
+
+
 _MULTIMODAL = f"""
 WITH t AS (
   SELECT doc_id,
@@ -961,5 +1031,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _FINGERPRINT,
         "ann_cosine_topk": _ANN_TOPK,
         "ann_cosine_lsh": _ann_lsh_sql(),
+        "embedding_near_dup": _near_dup_sql(),
         "multimodal_decode": _MULTIMODAL,
+        "frame_sample": _FRAME_SAMPLE,
     }

@@ -81,7 +81,7 @@ def transcripts_throughput(spark, n_convs: int = 2000, turns_per_conv: int = 200
     return dt, n_turns, n_windows
 
 
-def streaming_probe(spark, n_convs: int = 300, turns_per_conv: int = 100, n_files: int = 24):
+def streaming_probe(spark, n_convs: int = 300, turns_per_conv: int = 100, n_files: int = 12):
     """Streaming flagship probe: transcripts replayed as one file per
     micro-batch through the stateful slicing operator. Reports operator
     throughput and EMISSION LATENCY percentiles (BASELINE.json metric):
@@ -127,6 +127,11 @@ def streaming_probe(spark, n_convs: int = 300, turns_per_conv: int = 100, n_file
                 import os as _os
                 _os.rename(tmp, f"{src}/{i:04d}.parquet")
 
+        # state tasks = shuffle partitions; at probe scale 64 state-store
+        # tasks per micro-batch is pure fixed overhead, so pin a small
+        # number for this query only (read at query START) and restore
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         schema = transcripts_schema().add("is_tool", "double")
         stream = (
             spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
@@ -147,6 +152,7 @@ def streaming_probe(spark, n_convs: int = 300, turns_per_conv: int = 100, n_file
         )
         q.processAllAvailable()
         wall = time.time() - t0
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
         def iso_ms(s):
             return int(datetime.fromisoformat(s.replace("Z", "+00:00"))
@@ -190,10 +196,11 @@ def main():
     qs = entrymod.queries()
     headline = [
         "tumbling_1h", "sliding_1h_15m", "session_30m", "scotty_multiwindow",
-        "scotty_session_kernel", "count_tumbling_25", "salted_tumbling",
+        "scotty_session_kernel", "scotty_payload_kernel", "scotty_global_kernel",
+        "count_tumbling_25", "count_sliding_50_25", "salted_tumbling",
         "pricing_summary", "revenue_by_nation", "interval_join_1h",
-        "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-        "text_quality", "token_count", "ann_cosine_topk",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+        "text_quality", "token_count", "doc_fingerprint", "ann_cosine_topk",
     ]
 
     timings = {}

@@ -17,6 +17,14 @@ records per micro-batch partition and idempotent re-delivery on restart:
 The reference has no sink at all (demo `print()`, benchmark no-op —
 SURVEY.md §2.3); exactly-once semantics here come from Spark's
 checkpointed offset tracking + idempotent writes.
+
+Iceberg: the north_rule words the sink as an Iceberg table. This container
+ships NO Iceberg runtime (no iceberg-spark-runtime jar anywhere on the
+image, and installs are not permitted), so parquet + the lineage manifest
+is the documented stand-in — the ``table_format`` knob switches the write
+to ``format("iceberg")`` on a cluster that has the runtime, where the
+batch_id-keyed overwrite maps to Iceberg's replacePartitions commit. The
+waiver is recorded in BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -30,9 +38,15 @@ from pyspark.sql import functions as F
 
 
 class ExactlyOnceParquetSink:
-    def __init__(self, out_dir: str, partition_cols: list[str] | None = None):
+    def __init__(
+        self,
+        out_dir: str,
+        partition_cols: list[str] | None = None,
+        table_format: str = "parquet",
+    ):
         self.out_dir = out_dir
         self.partition_cols = partition_cols or []
+        self.table_format = table_format
         self.lineage_dir = os.path.join(out_dir, "_lineage")
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -42,7 +56,7 @@ class ExactlyOnceParquetSink:
         batch_df = batch_df.withColumn("batch_id", F.lit(batch_id))
         path = os.path.join(self.out_dir, f"batch_id={batch_id}")
         # overwrite THIS batch's directory only: replays are idempotent
-        batch_df.drop("batch_id").write.mode("overwrite").parquet(path)
+        batch_df.drop("batch_id").write.mode("overwrite").format(self.table_format).save(path)
 
         spark = batch_df.sparkSession
         written = spark.read.parquet(path)
