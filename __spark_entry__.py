@@ -823,9 +823,20 @@ SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
 """
 
 
-def _minhash_lsh_sql(k: int = 32, bands: int = 8, threshold: float = 0.35) -> str:
-    """Full MinHash+LSH+verify pipeline in SQL with the same (a,b) hash
-    family constants as plans.dedup.minhash_signatures."""
+def _gram_chain_sql(arr: str, i: str, n: int, a: int, p: int) -> str:
+    """The portable polynomial shingle chain (plans.dedup._chain_step) as
+    SQL: NULL (past-the-end) words are skipped, all intermediates < 2^62."""
+    x = "0"
+    for k in range(n):
+        e = f"{arr}[{i}+{k}]"
+        x = f"(CASE WHEN {e} IS NULL THEN {x} ELSE (({x}) * {a} % {p} + {e}) % {p} END)"
+    return x
+
+
+def _minhash_lsh_sql(k: int = 32, bands: int = 8, threshold: float = 0.35, n: int = 3) -> str:
+    """Full MinHash+LSH+verify pipeline in SQL with the same shingle-key
+    chains and (a,b) hash family constants as plans.dedup."""
+    from scotty_window_processor_spark.plans.dedup import CHAIN_A1, CHAIN_A2, PACK
     from scotty_window_processor_spark.plans.portable_hash import MINHASH_P, minhash_params
 
     params = minhash_params(k)
@@ -839,18 +850,23 @@ def _minhash_lsh_sql(k: int = 32, bands: int = 8, threshold: float = 0.35) -> st
         )
         for b in range(bands)
     )
+    gram = (
+        f"({_gram_chain_sql('wh', 'i', n, CHAIN_A1, MINHASH_P)}) * {PACK} "
+        f"+ ({_gram_chain_sql('wh', 'i', n, CHAIN_A2, MINHASH_P)})"
+    )
     return f"""
-WITH docs AS (
+WITH w AS (
   SELECT doc_id AS id,
+         [{_md5_60_sql('x')} % {MINHASH_P}
+          FOR x IN string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')] AS wh
+  FROM documents
+), docs AS (
+  SELECT id,
          list_distinct([
-           {_md5_60_sql("array_to_string(words[i:i+2], ' ')")}
-           FOR i IN range(1, greatest(len(words) - 2, 1) + 1)
+           {gram}
+           FOR i IN range(1, greatest(len(wh) - {n} + 1, 1) + 1)
          ]) AS sh
-  FROM (
-    SELECT doc_id,
-           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
-    FROM documents
-  )
+  FROM w
 ), expl AS (
   SELECT id, unnest(sh) % {MINHASH_P} AS hm FROM docs
 ), sig AS (

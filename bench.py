@@ -203,6 +203,11 @@ def main():
         "text_quality", "token_count", "doc_fingerprint", "ann_cosine_topk",
     ]
 
+    # warm the JVM/codegen and the parquet footers once so the first timed
+    # query doesn't absorb session startup (~4-5s on this box)
+    for t in ("events", "documents", "embeddings", "lineitem"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+
     timings = {}
     for name in headline:
         t0 = time.time()

@@ -34,6 +34,22 @@ def normalized_text(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+def let_(bound, body):
+    """Let-binding for Catalyst expressions: evaluate ``bound`` ONCE per
+    row and reference it many times inside ``body`` (a Column → Column
+    function over the lambda variable).
+
+    Why: splitting the computation across .select() projections does NOT
+    guarantee single evaluation — CollapseProject merges adjacent
+    projections and inlines the producer expression into every reference;
+    inside a higher-order-function lambda that means re-evaluating the
+    producer per array ELEMENT (measured 300× on the portable shingle
+    chain: 0.7s → 238s at sf0.1). Binding through a one-element array +
+    transform makes the producer a HOF argument, which Catalyst evaluates
+    exactly once per row, and the lambda variable is a cheap reference."""
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
 def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Repartition iff the input has fewer partitions than the cluster has
     slots. CPU-heavy per-row projections (shingling, hashing, voting)
@@ -88,39 +104,74 @@ def shingle_hash_docs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> 
     to 64-bit collisions (~1e-9 at 10^6 distinct shingles; a collision
     only perturbs one intersection count).
 
-    The three projection steps are deliberate: referencing split()/
-    transform() results from inside another lambda re-evaluates them per
-    array ELEMENT (no cross-expression CSE inside codegen HOFs — 6×
-    end-to-end, measured); as materialised attribute columns they are
-    evaluated once per row."""
-    words = df.select(
-        F.col(id_col).alias("id"), F.split(normalized_text(F.col(text_col)), " ").alias("w")
+    The word-hash array is let_-bound so it is computed exactly once per
+    row — NOT re-inlined per gram element by CollapseProject (see let_)."""
+    wh = F.transform(
+        F.split(normalized_text(F.col(text_col)), " "), lambda x: F.xxhash64(x)
     )
-    hashed = words.select("id", F.transform("w", lambda x: F.xxhash64(x)).alias("wh"))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("wh") - n + 1, F.lit(1))),
-        lambda i: F.xxhash64(*[F.try_element_at(F.col("wh"), i + k) for k in range(n)]),
+
+    def grams(whv):
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(whv) - n + 1, F.lit(1))),
+                lambda i: F.xxhash64(*[F.try_element_at(whv, i + k) for k in range(n)]),
+            )
+        )
+
+    return df.select(F.col(id_col).alias("id"), let_(wh, grams).alias("shingles"))
+
+
+# portable shingle-key parameters: two independent mod-P chains over the
+# per-word hashes, packed into one 62-bit key (see portable_shingle_docs)
+PACK = 1 << 31
+CHAIN_A1 = 1_103_515_245
+CHAIN_A2 = 69_069
+
+
+def _chain_step(x, e, a: int):
+    """One polynomial-hash step, NULL word (past-the-end) skipped — the
+    arithmetic twin of concat_ws dropping a missing tail word. All
+    intermediates < 2^62, so plain BIGINT in Spark AND DuckDB (DuckDB
+    errors on signed-64 overflow, so staying under 63 bits is required,
+    not just tidy)."""
+    return F.when(e.isNull(), x).otherwise(
+        ((x * F.lit(a)) % F.lit(MINHASH_P) + e) % F.lit(MINHASH_P)
     )
-    return hashed.select("id", F.array_distinct(grams).alias("shingles"))
 
 
 def portable_shingle_docs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingles: array<long>) — distinct 60-bit PORTABLE hashes
-    (md5-60 of the shingle string) — used where the output must be
-    reproducible in the DuckDB oracle (MinHash/LSH). Same stepped-
-    projection shape as shingle_hash_docs (one split, one gram build, one
-    md5 pass — never re-evaluated per element)."""
-    words = df.select(
-        F.col(id_col).alias("id"), F.split(normalized_text(F.col(text_col)), " ").alias("w")
+    """(id, shingles: array<long>) — distinct PORTABLE 62-bit shingle keys
+    used where the output must be reproducible in the DuckDB oracle
+    (MinHash/LSH).
+
+    Instead of materialising shingle STRINGS and md5-ing each (string
+    concat inside a higher-order function falls out of codegen — measured
+    ~20s at sf0.1 vs ~1s for this), each WORD is md5-hashed once
+    (mod P=2^31−1) and each shingle key is two independent polynomial
+    chains over the n word hashes packed as k1·2^31 + k2: collision
+    probability ~2^-62 per pair, pure BIGINT arithmetic in both engines.
+    The identical formula lives in __spark_entry__._minhash_lsh_sql.
+    The word-hash array is let_-bound (evaluated once per row; see let_)."""
+    wh = F.transform(
+        F.split(normalized_text(F.col(text_col)), " "),
+        lambda x: F.pmod(md5_60(x), F.lit(MINHASH_P)),
     )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("w") - n + 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", *[F.try_element_at(F.col("w"), i + k) for k in range(n)]),
-    )
-    strs = words.select("id", grams.alias("g"))
-    return strs.select(
-        "id", F.array_distinct(F.transform("g", lambda s: md5_60(s))).alias("shingles")
-    )
+
+    def grams(whv):
+        def gram(i):
+            k1 = F.lit(0).cast("long")
+            k2 = F.lit(0).cast("long")
+            for k in range(n):
+                e = F.try_element_at(whv, i + k)
+                k1 = _chain_step(k1, e, CHAIN_A1)
+                k2 = _chain_step(k2, e, CHAIN_A2)
+            return k1 * F.lit(PACK) + k2
+
+        return F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.greatest(F.size(whv) - n + 1, F.lit(1))), gram)
+        )
+
+    return df.select(F.col(id_col).alias("id"), let_(wh, grams).alias("shingles"))
 
 
 def dedup_ngram_jaccard(
