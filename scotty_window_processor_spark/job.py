@@ -1,7 +1,10 @@
 """spark-submit entrypoint (north_rule: runs via spark-submit --py-files).
 
     zip -r scotty.zip scotty_window_processor_spark
-    spark-submit --py-files scotty.zip -m scotty_window_processor_spark.job ...
+    spark-submit --py-files scotty.zip scripts/submit_job.py <mode> ...
+
+(spark-submit has no module mode; scripts/submit_job.py is the submittable
+script and this module is the implementation it calls.)
 
 Modes:
   batch    — read a transcripts table, run a window set, write parquet

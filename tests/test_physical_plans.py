@@ -73,3 +73,37 @@ def test_catalyst_tier_uses_builtin_window_aggregate(spark):
     plan = plan_of(out)
     assert "Python" not in plan and "Arrow" not in plan, plan[:500]
     assert "HashAggregate" in plan
+
+
+def test_ngram_jaccard_plan_shape(spark):
+    """The df-cap is a BROADCAST anti-join (hot shingles only — never a
+    second shuffle of the exploded side) and the candidate generator is a
+    hash self-join on the 8-byte shingle key: no cartesian product
+    anywhere."""
+    from scotty_window_processor_spark.plans.dedup import dedup_ngram_jaccard
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(dedup_ngram_jaccard(docs, threshold=0.35, max_shingle_df=50))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:2000]
+
+
+def test_minhash_lsh_plan_has_no_cartesian(spark):
+    from scotty_window_processor_spark.plans.dedup import dedup_minhash_lsh
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(dedup_minhash_lsh(docs, verify_threshold=0.35))
+    assert "CartesianProduct" not in plan
+
+
+def test_shingle_producer_not_reinlined(spark):
+    """let_ guard: the word-hash transform must appear ONCE in the
+    projection, not once per gram reference (CollapseProject inlining —
+    the 300x regression class)."""
+    from scotty_window_processor_spark.plans.dedup import portable_shingle_docs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(portable_shingle_docs(docs, "doc_id", "text"))
+    # the md5 of the word appears exactly once (inside the single bound
+    # lambda), not replicated per chain step reference
+    assert plan.count("md5") == 1, f"word-hash producer inlined {plan.count('md5')}x"
