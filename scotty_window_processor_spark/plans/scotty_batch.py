@@ -150,22 +150,40 @@ def scotty_window_aggregate(
         )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one hash BUCKET of keys per call (not one key): per-group Arrow +
+        # pandas dispatch dominates when keys are small (2000 single-key
+        # groups ≈ 4s of pure overhead at sf0.1), so the shuffle key is a
+        # bucket and the per-key kernel loop runs inside one batch — same
+        # economics as the vectorized tier (plans.vectorized_multi).
         if pdf.empty:
             return pd.DataFrame({f.name: pd.Series(dtype="object") for f in out_schema.fields})
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        ts_ms = (pdf[ts].to_numpy().astype("datetime64[ms]").astype("int64"))
-        key_val = pdf[key].iloc[0]
-        final_wm = _final_watermark(int(ts_ms[-1]), window_defs, lateness_ms)
-        rows = _kernel_run(pdf, ts_ms, value, window_defs, agg_specs, lateness_ms, final_wm)
+        pdf = pdf.drop(columns=["_b"]).sort_values([key] + sort_cols, kind="mergesort")
+        keys = pdf[key].to_numpy()
+        ts_all = pdf[ts].to_numpy().astype("datetime64[ms]").astype("int64")
+        import numpy as np
 
-        out = pd.DataFrame(rows, columns=[f.name for f in out_schema.fields[1:]])
-        out.insert(0, key, key_val)
-        return out
+        changes = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+        bounds = np.concatenate([[0], changes, [len(keys)]])
+        outs = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            g = pdf.iloc[s:e]
+            ts_ms = ts_all[s:e]
+            final_wm = _final_watermark(int(ts_ms[-1]), window_defs, lateness_ms)
+            rows = _kernel_run(g, ts_ms, value, window_defs, agg_specs, lateness_ms, final_wm)
+            if rows:
+                out = pd.DataFrame(rows, columns=[f.name for f in out_schema.fields[1:]])
+                out.insert(0, key, keys[s])
+                outs.append(out)
+        if not outs:
+            return pd.DataFrame({f.name: pd.Series(dtype="object") for f in out_schema.fields})
+        return pd.concat(outs, ignore_index=True)
 
     if value is not None:
         # column-prune before the shuffle: payload columns never cross Arrow
         df = df.select(*dict.fromkeys([key, ts, value] + ([arrival_order] if arrival_order else [])))
-    return df.groupBy(key).applyInPandas(run, out_schema)
+    n_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
+    bucketed = df.withColumn("_b", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)))
+    return bucketed.groupBy("_b").applyInPandas(run, out_schema)
 
 
 def scotty_global_aggregate(
