@@ -310,20 +310,41 @@ class SliceStore:
 
     # window assembly ------------------------------------------------------
     def aggregate(self, windows: List[WindowResult], min_ts: int, max_ts: int, min_count: int, max_count: int) -> None:
-        """The aggregate-sharing join of slices × triggered windows.
+        """The aggregate-sharing join of slices × triggered windows
+        (parity: LazyAggregateStore.java:81-99 — same containment
+        predicate, different join strategy).
 
-        Scans only the slice envelope covering all triggered windows and
-        merges each covered slice's partials into every window containing
-        it (parity: LazyAggregateStore.java:81-99)."""
-        start = max(self.find_index_by_ts(min_ts), 0)
-        start = min(start, self.find_index_by_count(min_count))
-        end = min(len(self.slices) - 1, self.find_index_by_ts(max_ts))
-        end = max(end, self.find_index_by_count(max_count))
-        for i in range(start, end + 1):
-            s = self.slices[i]
-            for w in windows:
-                if w.contains_slice(s):
-                    w.agg_state.merge(s.agg_state)
+        Time windows: slices are sorted by t_start and a time window
+        contains exactly the slices with ``w.start <= t_start`` and
+        ``w.end > t_last`` — so each window binary-searches its first
+        candidate and scans only ``t_start < w.end`` (the reference scans
+        the full envelope per window: O(W×S) vs O(W·(log S + hits)); at a
+        bounded-batch flush W and S are both hundreds per key and the
+        cross was 54% of kernel CPU). Count windows keep the envelope
+        scan (positional containment has no sorted-prefix structure when
+        mixed with time slices)."""
+        time_windows = [w for w in windows if w.measure == WindowMeasure.TIME]
+        count_windows = [w for w in windows if w.measure != WindowMeasure.TIME]
+        if time_windows:
+            starts = [s.t_start for s in self.slices]
+            n = len(starts)
+            for w in time_windows:
+                i = bisect.bisect_left(starts, w.start)
+                while i < n and starts[i] < w.end:
+                    s = self.slices[i]
+                    if w.end > s.t_last:
+                        w.agg_state.merge(s.agg_state)
+                    i += 1
+        if count_windows:
+            start = max(self.find_index_by_ts(min_ts), 0)
+            start = min(start, self.find_index_by_count(min_count))
+            end = min(len(self.slices) - 1, self.find_index_by_ts(max_ts))
+            end = max(end, self.find_index_by_count(max_count))
+            for i in range(start, end + 1):
+                s = self.slices[i]
+                for w in count_windows:
+                    if w.contains_slice(s):
+                        w.agg_state.merge(s.agg_state)
 
     @property
     def is_empty(self) -> bool:
