@@ -28,12 +28,20 @@ implementation below is new):
 - slicing/.../slice/AbstractSlice.java, EagerSlice.java, LazySlice.java,
   SliceFactory.java:17-22 (records kept only when a count window exists)
 
-Two deliberate divergences from the reference (both latent reference bugs
-that its tests never reach, pinned in tests/test_store.py:62-75):
+Deliberate divergences from the reference (latent reference bugs its
+tests never reach; #1-2 pinned in tests/test_store.py:62-75, #4 in
+tests/test_property_sharing.py + test_tumbling.py):
 1. the record buffer is a stable sorted *list*, so same-timestamp records
    are retained (the reference's TreeSet silently drops them);
 2. merging two slices merges their record buffers (the reference drops the
-   right slice's buffer, breaking later recomputes).
+   right slice's buffer, breaking later recomputes);
+3. sparse-key guard: see _insert_element (records silently dropped when
+   the inter-arrival gap exceeds maxLateness);
+4. power-of-two window sizes hang the reference's first-edge loop (the
+   wrapped sentinel re-enters itself) — see _next_fixed_edge;
+5. mixed fixed+session windows silently drop sessions whose in-order
+   break falls before the next fixed edge + gap — see
+   _next_flex_edge_count.
 """
 
 from __future__ import annotations
@@ -465,10 +473,34 @@ class SlicingWindowOperator:
         for w in self.context_free:
             if w.measure == WindowMeasure.TIME:
                 edge = min(edge, wrap64(w.assign_next_window_start(t_c)))
+        if edge == JLONG_MIN:
+            # divergence fix #4: for a power-of-two size/slide the wrapped
+            # first edge is EXACTLY Long.MIN_VALUE — the reference then
+            # re-reads it as its own uninitialised sentinel and loops
+            # forever (StreamSlicer.java:106-117, `min_next_edge_ts ==
+            # Long.MIN_VALUE ? Long.MAX_VALUE : ...`; 2^63 ≡ 0 mod any
+            # power of two, so assignNextWindowStart(Long.MAX_VALUE)
+            # overflows to exactly MIN_VALUE). Nudging by +1 breaks the
+            # sentinel collision; the value is far below any appendable
+            # (>= 0) edge, so no observable slice changes.
+            edge = JLONG_MIN + 1
         return edge
 
     def _next_flex_edge_count(self, te: int) -> int:
-        t_c = max(self._max_event_time, self._min_next_edge_ts)
+        # divergence fix #5: the reference computes the session ("flex")
+        # edge from t_c = max(maxEventTime, min_next_edge_ts)
+        # (StreamSlicer.java:121-133) — but min_next_edge_ts is the NEXT
+        # (future) fixed edge, which almost always exceeds maxEventTime
+        # once fixed windows are registered, so true in-order session
+        # breaks with last_ts + gap <= te < next_fixed_edge + gap are
+        # silently suppressed: the session's first element lands in a
+        # slice whose t_start precedes the session start and the whole
+        # session drops out of window assembly (containsSlice needs
+        # w.start <= slice.t_start). The reference never hits this — its
+        # suites never mix fixed and session windows across an in-order
+        # gap — but the mix is this engine's flagship workload. A session
+        # break is a fact about event time alone: te >= maxEventTime + gap.
+        t_c = self._max_event_time
         return sum(1 for ctx in self.contexts if te >= wrap64(ctx.assign_next_window_start(t_c)))
 
     # slice manager: append / insert / surgery. Parity: SliceManager.java.

@@ -140,3 +140,26 @@ def test_out_of_order_multi_session(op):
     assert_contains(r, 57, 62, 1)
     assert_contains(r, 20, 30, 1)
     assert_contains(r, 31, 67, 5)
+
+
+def test_mixed_fixed_and_session_break_between_fixed_edges():
+    """Divergence fix #5: an in-order session break landing before the
+    next fixed edge + gap must still open a session slice. The reference
+    suppresses the flex edge (t_c inflated by the FUTURE fixed edge,
+    StreamSlicer.java:121-133) and the whole second session silently
+    drops out of window assembly."""
+    from scotty_window_processor_spark.functions import CountAggregation, SumAggregation
+    from scotty_window_processor_spark.operators import TumblingWindow, WindowMeasure
+
+    op = SlicingWindowOperator(max_lateness=50)
+    op.add_aggregation(SumAggregation())
+    op.add_window(TumblingWindow(WindowMeasure.TIME, 3, window_id=0))
+    op.add_window(SessionWindow(WindowMeasure.TIME, 3, window_id=1))
+    op.seed_watermark(0)  # batch adapters seed; see seed_watermark docstring
+    for v, ts in [(1, 1), (1, 2), (1, 3), (1, 4), (5, 8)]:
+        op.process_element(v, ts)
+    r = [w for w in op.process_watermark(10_000) if w.has_value]
+    sessions = {(w.start, w.end): w.agg_values()[0] for w in r if w.window_id == 1}
+    assert sessions == {(1, 7): 4, (8, 11): 5}, sessions
+    tumbling = {(w.start, w.end): w.agg_values()[0] for w in r if w.window_id == 0}
+    assert tumbling == {(0, 3): 2, (3, 6): 2, (6, 9): 5}, tumbling

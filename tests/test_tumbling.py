@@ -157,3 +157,16 @@ def test_out_of_order_count_3_mid_stream_watermark(op):
     op.process_element(1, 51)
     op.process_element(3, 52)
     op.process_watermark(55)  # reference asserts nothing here; must not raise
+
+
+def test_power_of_two_window_size_first_edge(op):
+    """Divergence fix #4: a power-of-two size makes the wrapped first edge
+    exactly Long.MIN_VALUE, which the reference re-reads as its own
+    uninitialised sentinel and spins forever (StreamSlicer.java:106-117).
+    The kernel must terminate and window correctly."""
+    op.add_window(TumblingWindow(WindowMeasure.TIME, 8))
+    for v, ts in [(1, 13), (2, 17), (3, 25)]:
+        op.process_element(v, ts)
+    r = [w for w in op.process_watermark(100) if w.has_value]
+    got = {(w.start, w.end): w.agg_values()[0] for w in r}
+    assert got == {(8, 16): 1, (16, 24): 2, (24, 32): 3}
