@@ -370,17 +370,27 @@ def dedup_simhash(
     quarter_bits = SIMHASH_BITS // tables
     mask = (1 << quarter_bits) - 1
     sims = simhash(df, id_col, text_col)
-    quarters = [
-        sims.select(
-            "id", "simhash",
-            F.lit(t).alias("tbl"),
-            F.shiftright(F.col("simhash"), t * quarter_bits).bitwiseAND(F.lit(mask)).alias("bucket"),
-        )
-        for t in range(tables)
-    ]
-    buckets = quarters[0]
-    for q in quarters[1:]:
-        buckets = buckets.unionAll(q)
+    # one explode, not a unionAll of per-table selects: union branches each
+    # re-run the whole 60-vote aggregate subplan (4 quarters × 2 join sides
+    # = 8 recomputes; ~2× end-to-end measured), while the exploded form
+    # computes it once per join side and the (tbl, bucket) exchanges reuse
+    buckets = sims.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        F.shiftright(F.col("simhash"), t * quarter_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "simhash", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
 
     a = buckets.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "tbl", "bucket")
     b = buckets.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "tbl", "bucket")
