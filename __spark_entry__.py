@@ -771,7 +771,9 @@ FROM s
 
 
 def _md5_60_sql(expr: str) -> str:
-    return f"(('0x' || left(md5({expr}), 15))::BIGINT)"
+    from scotty_window_processor_spark.plans.portable_hash import md5_60_sql
+
+    return md5_60_sql(expr)  # single source of truth for the hash formula
 
 
 _FINGERPRINT = f"""

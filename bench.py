@@ -105,6 +105,7 @@ def streaming_probe(spark, n_convs: int = 300, turns_per_conv: int = 100, n_file
 
     src = tempfile.mkdtemp(prefix="scotty_stream_src_")
     ckpt = tempfile.mkdtemp(prefix="scotty_stream_ckpt_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         pdf = (
             synthesize_transcripts(spark, n_convs=n_convs, turns_per_conv=turns_per_conv,
@@ -130,7 +131,8 @@ def streaming_probe(spark, n_convs: int = 300, turns_per_conv: int = 100, n_file
         # state tasks = shuffle partitions; at probe scale 64 state-store
         # tasks per micro-batch is pure fixed overhead, so pin a small
         # number for this query only (read at query START) and restore
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        # (finally-guarded: a failed probe must not leak 8 partitions into
+        # the rest of the bench session)
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         schema = transcripts_schema().add("is_tool", "double")
         stream = (
@@ -152,7 +154,6 @@ def streaming_probe(spark, n_convs: int = 300, turns_per_conv: int = 100, n_file
         )
         q.processAllAvailable()
         wall = time.time() - t0
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
         def iso_ms(s):
             return int(datetime.fromisoformat(s.replace("Z", "+00:00"))
@@ -183,6 +184,7 @@ def streaming_probe(spark, n_convs: int = 300, turns_per_conv: int = 100, n_file
             "emit_latency_p99_ms": pct(0.99),
         }
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 

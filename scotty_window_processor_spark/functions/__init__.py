@@ -272,7 +272,5 @@ class RoleTextRollupString(RoleTextRollup):
     string_agg(role || ':' || seq, '|' ORDER BY role))."""
 
     def lower(self, partial):
-        out: dict = {}
-        for _, role, text in sorted(partial):
-            out.setdefault(role, []).append(text)
-        return "|".join(f"{role}:{';'.join(texts)}" for role, texts in sorted(out.items()))
+        grouped = super().lower(partial)
+        return "|".join(f"{role}:{';'.join(texts)}" for role, texts in sorted(grouped.items()))

@@ -156,7 +156,13 @@ def embedding_near_dup(
     return (
         cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
         .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
-        .withColumn("cos", _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))))
+        # round BEFORE thresholding (like the top-k rankers) so the output
+        # set is stable to last-ulp noise and matches the oracle at the
+        # threshold boundary
+        .withColumn(
+            "cos",
+            F.round(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6),
+        )
         .where(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+        .select("id_a", "id_b", "cos")
     )

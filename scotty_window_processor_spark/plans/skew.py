@@ -41,9 +41,20 @@ def with_salt(
     fetch failure (SPARK-23207 class) and would double-count or lose rows
     in any downstream exchange reuse.
 
+    Caveats: byte-identical duplicate rows of a hot key land in ONE salt
+    bucket (content-determinism and spread are in tension; real event rows
+    carry a unique id/ts, so pass those as ``salt_cols``). Map-typed
+    columns are not hashable by xxhash64 and are excluded from the
+    default column set.
+
     Without a hot-key list, all keys are salted — appropriate when key
     cardinality is low relative to executors."""
-    cols = list(salt_cols) if salt_cols is not None else list(df.columns)
+    if salt_cols is not None:
+        cols = list(salt_cols)
+    else:
+        from pyspark.sql.types import MapType
+
+        cols = [f.name for f in df.schema.fields if not isinstance(f.dataType, MapType)]
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts)).cast("int")
     if hot_keys is not None:
         salt = F.when(F.col(key).isin(list(hot_keys)), salt).otherwise(F.lit(0))

@@ -59,7 +59,10 @@ class ExactlyOnceParquetSink:
         batch_df.drop("batch_id").write.mode("overwrite").format(self.table_format).save(path)
 
         spark = batch_df.sparkSession
-        written = spark.read.parquet(path)
+        # read back with the SAME format: an Iceberg path keeps superseded
+        # data files from earlier snapshots, so a raw parquet read would
+        # double-count exactly in the crash-replay case this sink exists for
+        written = spark.read.format(self.table_format).load(path)
         stats = written.agg(
             F.count(F.lit(1)).alias("rows"),
             F.min("w_start").alias("min_w_start"),
@@ -91,7 +94,12 @@ class ExactlyOnceParquetSink:
             from pyspark.sql.types import StructType
 
             return spark.createDataFrame([], StructType([]))
-        return spark.read.parquet(*paths)
+        if self.table_format == "parquet":
+            return spark.read.parquet(*paths)
+        out = spark.read.format(self.table_format).load(paths[0])
+        for p in paths[1:]:
+            out = out.unionAll(spark.read.format(self.table_format).load(p))
+        return out
 
     def lineage(self) -> list[dict]:
         out = []

@@ -79,6 +79,14 @@ class ScottyStatefulProcessor(StatefulProcessor):
                 "typed-state operator supports sum/count/min/max/mean; "
                 "use scotty_stream (pickle-state kernel) for custom functions"
             )
+        from ..operators.windows import WindowMeasure
+
+        if any(w.measure == WindowMeasure.COUNT for w in self.window_defs):
+            raise ValueError(
+                "typed-state operator cannot encode count-measure windows "
+                "(their slices carry record buffers for the positional "
+                "ripple); use scotty_stream (pickle-state kernel) instead"
+            )
 
     # -- StatefulProcessor contract -----------------------------------------
     def init(self, handle: StatefulProcessorHandle) -> None:
