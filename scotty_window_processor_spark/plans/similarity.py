@@ -83,20 +83,55 @@ def signed_projection_buckets(
     df: DataFrame, id_col: str, vec_col: str, dim: int, planes_per_table: int = 12, tables: int = 4
 ) -> DataFrame:
     """Random-hyperplane LSH: per table, a `planes_per_table`-bit signature
-    of sign(v·h). Same-bucket vectors have small angular distance whp."""
-    out_cols = [F.col(id_col).alias("id")]
-    vec = F.col(vec_col).cast("array<double>")
-    structs = []
-    for t in range(tables):
-        sig = F.lit(0).cast("long")
-        for p in range(planes_per_table):
-            h = _hyperplane(dim, t * planes_per_table + p)
-            proj = _dot(vec, F.array(*[F.lit(x) for x in h]))
-            sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        structs.append(F.struct(F.lit(t).alias("tbl"), sig.alias("bucket")))
-    return df.select(*out_cols, F.explode(F.array(*structs)).alias("tb")).select(
-        "id", "tb.tbl", "tb.bucket"
+    of sign(v·h). Same-bucket vectors have small angular distance whp.
+
+    The hyperplane MATRIX is one array-of-arrays literal and all
+    tables×planes projections come from a single nested transform — data,
+    not 60 inlined expression trees (the unrolled form cost ~8s of
+    Catalyst analysis/codegen per query). The per-plane arithmetic is
+    unchanged (zip_with multiply + sequential sum), so the DuckDB oracle
+    (per-plane list_inner_product) still matches bit-for-bit. The input
+    vector is let_-bound so the array cast happens once per row, not once
+    per plane."""
+    from .dedup import let_
+
+    n_planes = tables * planes_per_table
+    matrix = F.array(
+        *[
+            F.array(*[F.lit(x) for x in _hyperplane(dim, i)])
+            for i in range(n_planes)
+        ]
     )
+    powers = F.array(*[F.lit(1 << p).cast("long") for p in range(planes_per_table)])
+
+    def buckets_of(v):
+        # nested let_: the 60 projections are referenced once per table —
+        # bind them so the dot products run once per row, not per table
+        def from_projs(projs):
+            return F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        F.aggregate(
+                            F.zip_with(
+                                F.slice(projs, t * planes_per_table + 1, planes_per_table),
+                                powers,
+                                lambda x, pw: F.when(x > 0, pw).otherwise(F.lit(0).cast("long")),
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda acc, b: acc + b,
+                        ).alias("bucket"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+
+        return let_(F.transform(matrix, lambda h: _dot(v, h)), from_projs)
+
+    vec = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(let_(vec, buckets_of)).alias("tb")
+    ).select("id", "tb.tbl", "tb.bucket")
 
 
 def cosine_topk_lsh(
