@@ -593,7 +593,7 @@ WITH t AS (
   FROM t GROUP BY user_id, w_start, role
 )
 SELECT user_id, w_start, w_start + 21600000 AS w_end,
-       sum(cnt) AS n,
+       CAST(sum(cnt) AS BIGINT) AS n,
        string_agg(role || '=' || CAST(cnt AS VARCHAR), ',' ORDER BY role) AS tool_tally,
        string_agg(role || ':' || seq, '|' ORDER BY role) AS role_rollup
 FROM per_role GROUP BY user_id, w_start

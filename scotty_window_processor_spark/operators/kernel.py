@@ -661,6 +661,16 @@ class SlicingWindowOperator:
         n = len(ts_arr)
         if n == 0:
             return
+        if int(ts_arr[0]) < 0:
+            # The break grid below uses numpy floor division; the exact
+            # per-element path derives edges with Java-style jmod
+            # (truncation toward zero). The two grids agree only for
+            # non-negative timestamps, so negative-epoch data takes the
+            # exact path (unreachable with epoch-ms transcripts, guarded
+            # anyway).
+            for v, t in zip(values, ts_arr):
+                self.process_element(v, int(t))
+            return
         breaks = np.zeros(n, dtype=bool)
         breaks[0] = True
         prev = ts_arr[:-1]

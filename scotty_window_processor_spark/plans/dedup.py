@@ -189,7 +189,13 @@ def dedup_ngram_jaccard(
     intersection count → Jaccard from |A|+|B|−|∩|. ``max_shingle_df``
     (default 50) drops shingles occurring in more than that many docs —
     mandatory at scale (a stop-word shingle otherwise generates O(df²)
-    candidate pairs); the oracle applies the identical df filter."""
+    candidate pairs); the oracle applies the identical df filter.
+
+    Recall trade-off: a pair whose shared shingles ALL occur in more than
+    ``max_shingle_df`` documents produces no candidate and is missed —
+    this hits templated/boilerplate-heavy corpora hardest. Pass
+    ``max_shingle_df=None`` for exact recall at small scale, or raise the
+    cap; the default favors the 100 TB plan shape over tail recall."""
     docs = shingle_hash_docs(spread(df), id_col, text_col, n).withColumn(
         "n_sh", F.size("shingles")
     )

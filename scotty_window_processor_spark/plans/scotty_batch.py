@@ -38,6 +38,7 @@ from ..functions import (
     MinAggregation,
     SumAggregation,
 )
+from . import shuffle_partitions
 from ..operators.kernel import SlicingWindowOperator
 from ..operators.windows import SessionWindow, SlidingWindow, TumblingWindow, Window, WindowMeasure
 
@@ -181,7 +182,7 @@ def scotty_window_aggregate(
     if value is not None:
         # column-prune before the shuffle: payload columns never cross Arrow
         df = df.select(*dict.fromkeys([key, ts, value] + ([arrival_order] if arrival_order else [])))
-    n_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
+    n_buckets = shuffle_partitions(df.sparkSession)
     bucketed = df.withColumn("_b", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)))
     return bucketed.groupBy("_b").applyInPandas(run, out_schema)
 

@@ -46,6 +46,7 @@ from ..functions import (
     MinAggregation,
     SumAggregation,
 )
+from . import shuffle_partitions
 from ..operators.windows import SessionWindow, SlidingWindow, TumblingWindow, WindowMeasure
 
 
@@ -203,7 +204,7 @@ def multikey_window_aggregate(
         ]
         + [T.StructField(name, T._parse_datatype_string(ddl), True) for name, ddl, _ in aggs]
     )
-    n_buckets = buckets or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
+    n_buckets = buckets or shuffle_partitions(df.sparkSession)
     window_defs = list(windows)
     agg_specs = list(aggs)
     agg_names = [name for name, _, _ in agg_specs]

@@ -1,5 +1,13 @@
 """Typed-state streaming operator: transformWithStateInPandas (Spark 4).
 
+EXPERIMENTAL: this tier has never executed in the build container (the
+transformWithStateInPandas state-server protocol requires the ``protobuf``
+package, absent here), so the timer bookkeeping in ``_finish`` /
+``handleExpiredTimer`` ships code-complete but runtime-unverified; only
+the shared state codec is exercised (via the applyInPandasWithState
+operator). Run ``tests/test_streaming_tws.py`` on an environment with
+protobuf before relying on ``scotty_stream_typed`` in production.
+
 The applyInPandasWithState path (streaming.processor) pickles the whole
 kernel object into one binary state cell — simple, but CPU-heavy and
 version-fragile at 10^9 keys (SURVEY hard-part #5). This operator keeps
