@@ -59,6 +59,18 @@ class AggregateFunction(Generic[In, P, Out]):
     def clone(self, partial: P) -> P:
         return partial
 
+    # Optional vectorized segment lifts for the in-order bulk path
+    # (SlicingWindowOperator.process_in_order_bulk). By associativity,
+    # combine(p, bulk_lift(segment)) == folding lift_and_combine over the
+    # segment, so a function may implement either (or both) modes:
+    #   bulk_lift_values(varr, s, e)  — over a numpy value array slice
+    #   bulk_lift_records(cols, s, e) — over columnar records
+    #                                   (dict of column-name → list)
+    # Left as None (not implemented) here: the planner falls back to the
+    # exact per-element path for functions without one.
+    bulk_lift_values = None
+    bulk_lift_records = None
+
 
 class ReduceAggregateFunction(AggregateFunction[In, In, In]):
     """lift and lower are identity; only ``combine`` is user-defined.
@@ -103,6 +115,9 @@ class CountAggregation(AggregateFunction[Any, int, int]):
 
     def lift(self, element):
         return 1
+
+    def bulk_lift_records(self, cols, s, e):
+        return e - s
 
     def combine(self, a, b):
         return a + b
@@ -174,6 +189,15 @@ class QuantileAggregation(AggregateFunction[float, dict, float]):
     def clone(self, partial):
         return dict(partial)
 
+    def bulk_lift_values(self, varr, s, e):
+        # one np.unique per segment instead of one dict merge per element;
+        # np.float64 keys hash/compare equal to the per-element path's
+        # Python floats, so mixed construction is safe
+        import numpy as np
+
+        vals, cnts = np.unique(varr[s:e], return_counts=True)
+        return dict(zip(vals.tolist(), cnts.tolist()))
+
     def lower(self, partial):
         # discrete quantile: smallest v with cume_dist >= q (matches SQL
         # quantile_disc / percentile_disc semantics)
@@ -220,6 +244,12 @@ class ToolTallyAggregation(AggregateFunction[Any, dict, dict]):
     def clone(self, partial):
         return dict(partial)
 
+    def bulk_lift_records(self, cols, s, e):
+        from collections import Counter
+
+        # same truthiness filter as lift (None AND empty string excluded)
+        return dict(Counter(t for t in cols["tool"][s:e] if t))
+
     def lower(self, partial):
         return dict(sorted(partial.items()))
 
@@ -256,6 +286,11 @@ class RoleTextRollup(AggregateFunction[Any, list, dict]):
 
     def clone(self, partial):
         return list(partial)
+
+    def bulk_lift_records(self, cols, s, e):
+        # one C-level sorted(zip(...)) per segment instead of one
+        # bisect.insort per element
+        return sorted(zip(cols["turn_idx"][s:e], cols["role"][s:e], cols["text"][s:e]))
 
     def lower(self, partial):
         out: dict = {}

@@ -41,7 +41,11 @@ tests/test_property_sharing.py + test_tumbling.py):
    wrapped sentinel re-enters itself) — see _next_fixed_edge;
 5. mixed fixed+session windows silently drop sessions whose in-order
    break falls before the next fixed edge + gap — see
-   _next_flex_edge_count.
+   _next_flex_edge_count;
+6. slice eviction never crosses the oldest ACTIVE session start (the
+   reference's clearAfterWatermark mixes a duration with an absolute
+   timestamp: unbounded state at epoch timestamps, silent data loss at
+   small ones) — see _evict.
 """
 
 from __future__ import annotations
@@ -637,13 +641,22 @@ class SlicingWindowOperator:
         types)."""
         return not self.has_count_measure and self.has_time_measure
 
-    def process_in_order_bulk(self, values, ts_arr, lift_kinds: Sequence[str]) -> None:
+    def process_in_order_bulk(self, values, ts_arr, lift_kinds, element_at=None) -> None:
         """Vectorized exact-parity insert of an IN-ORDER run.
 
         Preconditions (caller-enforced): ``ts_arr`` sorted ascending,
         ``ts_arr[0] >= self._max_event_time`` (in-order w.r.t. operator
         state), ``bulk_eligible()``, and ``lift_kinds[i]`` ∈
-        {sum,count,min,max,mean} for every registered function.
+        {sum,count,min,max,mean} for numpy-reducible functions OR a
+        callable ``(values, seg_start, seg_end) -> lifted partial``
+        (segment lift for custom functions — e.g. quantile histograms,
+        payload tallies; by associativity ``combine(p, bulk_lift(seg))``
+        equals folding ``lift_and_combine`` over the segment).
+
+        ``element_at(i)`` supplies the element for the per-element exact
+        path at segment breaks; defaults to ``values[i]``. This lets
+        record-mode callers keep ``values`` COLUMNAR (dict of lists) and
+        materialize a per-row dict only for the few break elements.
 
         Equivalence argument (this is the reference's in-order fast path,
         StreamSlicer.java:50-86, in segment form): a sequential
@@ -661,6 +674,7 @@ class SlicingWindowOperator:
         n = len(ts_arr)
         if n == 0:
             return
+        get = element_at if element_at is not None else values.__getitem__
         if int(ts_arr[0]) < 0:
             # The break grid below uses numpy floor division; the exact
             # per-element path derives edges with Java-style jmod
@@ -668,8 +682,8 @@ class SlicingWindowOperator:
             # non-negative timestamps, so negative-epoch data takes the
             # exact path (unreachable with epoch-ms transcripts, guarded
             # anyway).
-            for v, t in zip(values, ts_arr):
-                self.process_element(v, int(t))
+            for i in range(n):
+                self.process_element(get(i), int(ts_arr[i]))
             return
         breaks = np.zeros(n, dtype=bool)
         breaks[0] = True
@@ -687,16 +701,18 @@ class SlicingWindowOperator:
         seg_ends = np.concatenate([seg_starts[1:], [n]])
         for s, e in zip(seg_starts.tolist(), seg_ends.tolist()):
             # the exact path handles edge/section/bootstrap bookkeeping
-            self.process_element(values[s], int(ts_arr[s]))
+            self.process_element(get(s), int(ts_arr[s]))
             if e - s <= 1:
                 continue
-            seg = values[s + 1 : e]
+            seg = values[s + 1 : e] if element_at is None else None
             last_ts = int(ts_arr[e - 1])
             slc = self.store[len(self.store) - 1]
             state = slc.agg_state
             cnt = e - s - 1
             for i, kind in enumerate(lift_kinds):
-                if kind == "sum":
+                if callable(kind):
+                    lifted = kind(values, s + 1, e)
+                elif kind == "sum":
                     lifted = float(seg.sum())
                 elif kind == "count":
                     lifted = cnt
@@ -813,8 +829,21 @@ class SlicingWindowOperator:
         return min(candidates) if candidates else None
 
     def _evict(self, current_watermark: int) -> None:
-        max_delay = self.max_fixed_window_size
+        # divergence fix #6: the reference's clearAfterWatermark
+        # (WindowManager.java:81-91) computes
+        # maxDelay = max(maxFixedWindowSize, activeSession.getStart()) —
+        # mixing a DURATION with an ABSOLUTE timestamp. At epoch-scale
+        # timestamps start >> watermark-start ever gets, so the bound goes
+        # negative and nothing is evicted while any session is active
+        # (unbounded state, no visible bug); at small test timestamps the
+        # bound can pass an active session's start and evict slices the
+        # session still covers — its elements silently drop from the
+        # emitted window (found by tests/test_property_sharing.py). The
+        # intended invariant is explicit here: never evict at or above the
+        # oldest ACTIVE session start, and otherwise trail the watermark
+        # by the largest fixed-window horizon.
+        bound = current_watermark - self.max_fixed_window_size
         for ctx in self.contexts:
             for w in ctx.active_windows:
-                max_delay = max(max_delay, w.start)
-        self.store.evict_before(current_watermark - max_delay)
+                bound = min(bound, w.start)
+        self.store.evict_before(bound)

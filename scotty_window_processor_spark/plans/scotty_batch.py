@@ -183,7 +183,15 @@ def scotty_window_aggregate(
         # column-prune before the shuffle: payload columns never cross Arrow
         df = df.select(*dict.fromkeys([key, ts, value] + ([arrival_order] if arrival_order else [])))
     n_buckets = shuffle_partitions(df.sparkSession)
-    bucketed = df.withColumn("_b", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)))
+    # explicit repartition(num, col) pins the bucket shuffle: its
+    # REPARTITION_BY_NUM origin is exempt from AQE partition coalescing,
+    # which would otherwise size the CPU-bound Python kernel stage by
+    # shuffle BYTES (tiny for pruned columns) and serialize it onto one
+    # worker; hash(_b) already satisfies the groupBy's clustered
+    # distribution, so no second exchange is added
+    bucketed = df.withColumn(
+        "_b", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
+    ).repartition(n_buckets, F.col("_b"))
     return bucketed.groupBy("_b").applyInPandas(run, out_schema)
 
 
@@ -295,6 +303,32 @@ def _fast_path_eligible(windows: Sequence[Window], aggs: Sequence[AggSpec]) -> b
     )
 
 
+def _bulk_lift_kinds(fns, value_mode: bool):
+    """Per-function segment-lift spec for the vectorized in-order path:
+    a numpy-reduction name for the standard aggregates, the function's
+    own ``bulk_lift_values``/``bulk_lift_records`` callable for custom
+    functions that declare one, or None (whole list) to route the group
+    through the exact per-element loop."""
+    kinds = []
+    for fn in fns:
+        if value_mode:
+            named = _NUMPY_FAST.get(type(fn))
+            if named is not None:
+                kinds.append(named[0])
+            elif isinstance(fn, MeanAggregation):
+                kinds.append("mean")
+            elif fn.bulk_lift_values is not None:
+                kinds.append(fn.bulk_lift_values)
+            else:
+                return None
+        else:
+            if fn.bulk_lift_records is not None:
+                kinds.append(fn.bulk_lift_records)
+            else:
+                return None
+    return kinds
+
+
 def _kernel_run(pdf, ts_ms, value, windows, aggs, lateness_ms, final_wm):
     op = SlicingWindowOperator(max_lateness=lateness_ms)
     fns = [factory() for _, _, factory in aggs]
@@ -303,18 +337,35 @@ def _kernel_run(pdf, ts_ms, value, windows, aggs, lateness_ms, final_wm):
     for w in windows:
         op.add_window(w)
 
-    if value is not None:
+    op.seed_watermark(int(ts_ms[0]) - 1)
+    kinds = _bulk_lift_kinds(fns, value is not None) if op.bulk_eligible() else None
+    if kinds is not None:
+        # one key group is in-order by construction (sorted by ts), so the
+        # whole run takes the vectorized segment path: the exact kernel
+        # only touches slice-edge/session-break elements, every other
+        # element is folded in by one segment lift per slice
+        if value is not None:
+            op.process_in_order_bulk(pdf[value].to_numpy(), ts_ms, kinds)
+        else:
+            cols = {c: pdf[c].tolist() for c in pdf.columns}
+            names = list(cols)
+
+            def element_at(i):
+                return {c: cols[c][i] for c in names}
+
+            op.process_in_order_bulk(cols, ts_ms, kinds, element_at=element_at)
+    elif value is not None:
         elements = pdf[value].to_numpy()
+        for element, t in zip(elements, ts_ms.tolist()):
+            op.process_element(element, t)
     else:
         # dict records via zip of column lists — same rows as
         # pdf.to_dict("records") at ~3x less per-row overhead (no Series
         # boxing), and this IS the payload-aggregate hot loop's input
-        cols = list(pdf.columns)
-        elements = [dict(zip(cols, row)) for row in zip(*(pdf[c].tolist() for c in cols))]
-
-    op.seed_watermark(int(ts_ms[0]) - 1)
-    for element, t in zip(elements, ts_ms.tolist()):
-        op.process_element(element, t)
+        names = list(pdf.columns)
+        elements = [dict(zip(names, row)) for row in zip(*(pdf[c].tolist() for c in names))]
+        for element, t in zip(elements, ts_ms.tolist()):
+            op.process_element(element, t)
     results = op.process_watermark(final_wm)
 
     rows = []

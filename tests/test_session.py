@@ -163,3 +163,42 @@ def test_mixed_fixed_and_session_break_between_fixed_edges():
     assert sessions == {(1, 7): 4, (8, 11): 5}, sessions
     tumbling = {(w.start, w.end): w.agg_values()[0] for w in r if w.window_id == 0}
     assert tumbling == {(0, 3): 2, (3, 6): 2, (6, 9): 5}, tumbling
+
+
+def test_eviction_never_crosses_active_session_start():
+    """Divergence fix #6: a mid-stream watermark must not evict slices an
+    ACTIVE session still covers. The reference's clearAfterWatermark
+    computes max(maxFixedWindowSize, session.getStart()) — a duration
+    mixed with an absolute timestamp — so with small timestamps the
+    eviction bound passes the open session's start and its early elements
+    silently drop from the emitted window (found by hypothesis via the
+    sharing-invariant property test)."""
+    from scotty_window_processor_spark.functions import CountAggregation, SumAggregation
+    from scotty_window_processor_spark.operators import TumblingWindow, WindowMeasure
+
+    def run(windows):
+        op = SlicingWindowOperator(max_lateness=50)
+        op.add_aggregation(SumAggregation())
+        op.add_aggregation(CountAggregation())
+        for w in windows:
+            op.add_window(w)
+        stream = [(1, t) for t in range(1, 33)] + [
+            (1, 45), (1, 60), (1, 75), (1, 90), (8, 105)]
+        op.seed_watermark(stream[0][1] - 1)
+        out = []
+        for j, (v, t) in enumerate(stream):
+            op.process_element(v, t)
+            if j == 36:  # mid-stream watermark while the session is open
+                out += op.process_watermark(t - 50)
+        out += op.process_watermark(10_000_000)
+        return sorted(
+            (w.window_id, w.start, w.end, tuple(w.agg_values()))
+            for w in out if w.has_value
+        )
+
+    shared = run([TumblingWindow(WindowMeasure.TIME, 2, window_id=0),
+                  SessionWindow(WindowMeasure.TIME, 15, window_id=1)])
+    sessions = [r for r in shared if r[0] == 1]
+    assert sessions == [(1, 1, 120, (44.0, 37))], sessions
+    independent = run([SessionWindow(WindowMeasure.TIME, 15, window_id=1)])
+    assert sessions == independent, (sessions, independent)
