@@ -81,6 +81,42 @@ def transcripts_throughput(spark, n_convs: int = 2000, turns_per_conv: int = 200
     return dt, n_turns, n_windows
 
 
+def concurrent_windows_tiers(spark, n_windows: int = 16):
+    """Reference benchmark shape (random_tumbling_benchmark.json: 1-1000
+    concurrent windows): N tumbling windows over events, timed through
+    (a) the shared-shuffle vectorized tier (the cost-based default past 3
+    families) and (b) the Catalyst tier forced per-family (one unioned
+    groupBy(F.window) subplan each). Returns (tier2_sec, tier1_sec)."""
+    from scotty_window_processor_spark.functions import CountAggregation, SumAggregation
+    from scotty_window_processor_spark.operators import TumblingWindow, WindowMeasure
+    from scotty_window_processor_spark.plans.scotty_batch import scotty_window_aggregate
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    windows = [
+        TumblingWindow(WindowMeasure.TIME, (i + 1) * 900_000, window_id=i)
+        for i in range(n_windows)
+    ]
+    aggs = [("n", "long", CountAggregation), ("sum_value", "double", SumAggregation)]
+
+    t0 = time.time()
+    scotty_window_aggregate(ev, key="user_id", ts="ts", value="value",
+                            windows=windows, aggs=aggs).count()
+    tier2 = time.time() - t0
+
+    t0 = time.time()
+    parts = [
+        scotty_window_aggregate(ev, key="user_id", ts="ts", value="value",
+                                windows=[w], aggs=aggs)
+        for w in windows
+    ]
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionAll(p)
+    union.count()
+    tier1 = time.time() - t0
+    return tier2, tier1
+
+
 def streaming_probe(spark, n_convs: int = 300, turns_per_conv: int = 100, n_files: int = 12):
     """Streaming flagship probe: transcripts replayed as one file per
     micro-batch through the stateful slicing operator. Reports operator
@@ -196,14 +232,10 @@ def main():
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    headline = [
-        "tumbling_1h", "sliding_1h_15m", "session_30m", "scotty_multiwindow",
-        "scotty_session_kernel", "scotty_payload_kernel", "scotty_global_kernel",
-        "count_tumbling_25", "count_sliding_50_25", "salted_tumbling",
-        "pricing_summary", "revenue_by_nation", "interval_join_1h",
-        "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-        "text_quality", "token_count", "doc_fingerprint", "ann_cosine_topk",
-    ]
+    # every queries() entry is timed — a regression anywhere on the gate
+    # surface shows up here (streaming-replay entries excluded: the
+    # micro-batch scheduling floor is measured by streaming_probe instead)
+    headline = [name for name in qs if not name.startswith("stream_")]
 
     # warm the JVM/codegen and the parquet footers once so the first timed
     # query doesn't absorb session startup (~4-5s on this box)
@@ -219,6 +251,11 @@ def main():
 
     dt, n_turns, n_windows = transcripts_throughput(spark)
     timings["transcripts_multiwindow"] = round(dt, 3)
+
+    tier2_sec, tier1_sec = concurrent_windows_tiers(spark)
+    # production path (shared shuffle) counts toward the total; the forced
+    # Catalyst union is the comparison baseline only
+    timings["windows16_shared_shuffle"] = round(tier2_sec, 3)
 
     streaming = streaming_probe(spark)
     timings["streaming_probe"] = streaming["wall_sec"]
@@ -236,6 +273,11 @@ def main():
             "turns_per_sec": round(n_turns / dt, 1),
         },
         "streaming": streaming,
+        "concurrent_windows_16": {
+            "shared_shuffle_sec": round(tier2_sec, 3),
+            "catalyst_union_sec": round(tier1_sec, 3),
+            "speedup": round(tier1_sec / tier2_sec, 2) if tier2_sec else None,
+        },
         "parallelism": int(CPUS),
     }
     print(json.dumps(result))

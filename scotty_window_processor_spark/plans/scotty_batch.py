@@ -100,6 +100,22 @@ def scotty_window_aggregate(
     catalyst_exprs = _catalyst_aggs(aggs, value) if value is not None else None
     if force_kernel:
         prefer_catalyst = False
+    # cost-based tier choice: the Catalyst tier fans out one
+    # scan+shuffle+groupBy(F.window) subplan PER window family — the
+    # bucket-per-window pattern slicing exists to beat. Fine for 2-3
+    # concurrent windows (each subplan is whole-stage codegen), but past
+    # that the shared-shuffle vectorized tier (ONE exchange, every family
+    # reduced from the same sorted Arrow batches) wins and keeps winning
+    # as the window count grows (reference benchmark shape: 1-1000
+    # concurrent windows, random_tumbling_benchmark.json).
+    if (
+        prefer_catalyst
+        and catalyst_exprs is not None
+        and value is not None
+        and sum(1 for w in windows if w.measure == WindowMeasure.TIME) > 3
+        and _fast_path_eligible(list(windows), list(aggs))
+    ):
+        prefer_catalyst = False
     if prefer_catalyst and catalyst_exprs is not None:
         time_windows = [w for w in windows if w.measure == WindowMeasure.TIME
                         and isinstance(w, (TumblingWindow, SlidingWindow, SessionWindow))]

@@ -107,3 +107,69 @@ def test_shingle_producer_not_reinlined(spark):
     # the md5 of the word appears exactly once (inside the single bound
     # lambda), not replicated per chain step reference
     assert plan.count("md5") == 1, f"word-hash producer inlined {plan.count('md5')}x"
+
+
+def test_many_windows_route_to_shared_shuffle_tier(spark):
+    """Cost-based tier choice: >3 concurrent time windows with standard
+    aggregates must compile to the shared-shuffle vectorized tier — ONE
+    exchange feeding every window family — not one unioned
+    groupBy(F.window) subplan (scan + shuffle) per family."""
+    from scotty_window_processor_spark.functions import CountAggregation, SumAggregation
+    from scotty_window_processor_spark.operators import TumblingWindow, WindowMeasure
+    from scotty_window_processor_spark.plans.scotty_batch import scotty_window_aggregate
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    windows = [
+        TumblingWindow(WindowMeasure.TIME, (i + 1) * 3_600_000, window_id=i)
+        for i in range(16)
+    ]
+    aggs = [("n", "long", CountAggregation), ("sum_value", "double", SumAggregation)]
+
+    out = scotty_window_aggregate(ev, key="user_id", ts="ts", value="value",
+                                  windows=windows, aggs=aggs)
+    plan = plan_of(out)
+    assert plan.count("Exchange") == 1, plan
+    assert "Union" not in plan
+
+    # 2-3 windows keep the pure-Catalyst tier (whole-stage codegen)
+    few = scotty_window_aggregate(ev, key="user_id", ts="ts", value="value",
+                                  windows=windows[:2], aggs=aggs)
+    assert "ArrowEvalPython" not in plan_of(few)
+    assert "FlatMapsInPandas" not in plan_of(few)
+
+
+def test_many_windows_tier_matches_catalyst_rows(spark):
+    """The tier switch must be invisible in the output: 16-window shared
+    shuffle rows == the same request forced through the Catalyst tier."""
+    from scotty_window_processor_spark.functions import CountAggregation, SumAggregation
+    from scotty_window_processor_spark.operators import TumblingWindow, WindowMeasure
+    from scotty_window_processor_spark.plans import scotty_batch as sb
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    windows = [
+        TumblingWindow(WindowMeasure.TIME, (i + 1) * 3_600_000, window_id=i)
+        for i in range(5)
+    ]
+    aggs = [("n", "long", CountAggregation), ("sum_value", "double", SumAggregation)]
+
+    fast = sb.scotty_window_aggregate(ev, key="user_id", ts="ts", value="value",
+                                      windows=windows, aggs=aggs)
+    # force the Catalyst union plan for comparison: 3 window families at a
+    # time stay under the threshold
+    parts = [
+        sb.scotty_window_aggregate(ev, key="user_id", ts="ts", value="value",
+                                   windows=[w], aggs=aggs)
+        for w in windows
+    ]
+    slow = parts[0]
+    for p in parts[1:]:
+        slow = slow.unionAll(p)
+
+    def canon(df):
+        return sorted(
+            (r["user_id"], r["window_id"], r["w_start"], r["w_end"], r["n"],
+             round(r["sum_value"], 6))
+            for r in df.collect()
+        )
+
+    assert canon(fast) == canon(slow)
