@@ -447,6 +447,131 @@ def q_frame_sample(spark, sf_dir):
     return frame_sample(decode_metadata(attach_binary_payload(_docs(spark, sf_dir))), every_n=10)
 
 
+# --------------------------------------------------------------------------
+# streaming replay gates: the events table replayed file-per-trigger through
+# the STREAMING operator (applyInPandasWithState slicing kernel), emitted
+# windows gated against the SAME DuckDB oracles as the batch queries — so
+# the structured-streaming path itself carries correctness weight, not just
+# pytest parity.
+
+_STREAM_SEQ = [0]
+
+
+def _replay_events_stream(spark, sf_dir, windows, aggs, select_cols):
+    """Write events (ts-sorted) as 6 parquet files + one far-future
+    sentinel row, replay with maxFilesPerTrigger=1 through scotty_stream,
+    block until drained, return the emitted windows as a batch DataFrame.
+
+    The sentinel (user_id=-1, ts = max+1 day) advances the event-time
+    watermark past every real window end + gap + lateness, so the final
+    no-data micro-batch's timers flush ALL windows — making the emitted
+    set comparable to a batch oracle instead of only "closed so far".
+    """
+    import os as _os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scotty_window_processor_spark.streaming.processor import scotty_stream
+
+    _utc(spark)
+    batch = _events(spark, sf_dir).select("user_id", "ts", "value", "event_id")
+    schema = batch.schema
+    pdf = batch.toPandas().sort_values("ts", kind="mergesort").reset_index(drop=True)
+    sentinel_ts = pdf["ts"].max() + __import__("pandas").Timedelta(days=1)
+
+    src = tempfile.mkdtemp(prefix="scotty_gate_stream_")
+    ckpt = tempfile.mkdtemp(prefix="scotty_gate_ckpt_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    _STREAM_SEQ[0] += 1
+    table = f"stream_gate_out_{_STREAM_SEQ[0]}"
+    try:
+        n_files = 6
+        chunk = (len(pdf) + n_files - 1) // n_files
+        pieces = [pdf.iloc[i * chunk : (i + 1) * chunk] for i in range(n_files)]
+        sentinel = pdf.iloc[:1].copy()
+        sentinel["user_id"] = -1
+        sentinel["ts"] = sentinel_ts
+        sentinel["value"] = 0.0
+        pieces.append(sentinel)
+        mtime = 1_000_000_000
+        for i, part in enumerate(p for p in pieces if len(p)):
+            tbl = pa.Table.from_pandas(part, preserve_index=False)
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("ts"), "ts",
+                tbl.column("ts").cast(pa.timestamp("us")),
+            )
+            tmp = f"{src}/.tmp-{i:04d}"
+            pq.write_table(tbl, tmp)
+            _os.utime(tmp, (mtime + i, mtime + i))  # strictly increasing
+            _os.rename(tmp, f"{src}/{i:04d}.parquet")
+
+        # state tasks = shuffle partitions: pin small at gate scale so the
+        # per-micro-batch state-store fan-in doesn't dominate (restored in
+        # finally so the rest of the gate session is untouched)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+            # events.ts is TIMESTAMP_NTZ in the driver parquet; watermarks
+            # need TIMESTAMP (session tz pinned to UTC, values unchanged)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        result = scotty_stream(
+            stream, key="user_id", ts="ts", value="value",
+            windows=windows, aggs=aggs,
+            watermark_delay="30 seconds", lateness_ms=30_000,
+        )
+        q = (
+            result.writeStream.format("memory").queryName(table)
+            .option("checkpointLocation", ckpt).outputMode("append").start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.table(table).where(F.col("user_id") >= 0).select(*select_cols)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def q_stream_tumbling_1h(spark, sf_dir):
+    """Structured-streaming replay gate: tumbling(1h) per user through the
+    stateful slicing operator, emitted rows vs the batch _TUMBLING_1H
+    oracle (same rows the batch query produces)."""
+    from scotty_window_processor_spark.functions import CountAggregation, SumAggregation
+    from scotty_window_processor_spark.operators import TumblingWindow, WindowMeasure
+
+    return _replay_events_stream(
+        spark, sf_dir,
+        windows=[TumblingWindow(WindowMeasure.TIME, SIZE_H, window_id=1)],
+        aggs=[("n", "long", CountAggregation), ("sum_value", "double", SumAggregation)],
+        select_cols=[
+            F.col("user_id"), F.col("w_start"), F.col("w_end"), F.col("n"),
+            F.round("sum_value", 2).alias("sum_value"),
+        ],
+    )
+
+
+def q_stream_session_30m(spark, sf_dir):
+    """Structured-streaming replay gate: session(30m) windows — slice
+    surgery + session merge under micro-batch watermarks — vs the batch
+    _SESSION_30M gaps-and-islands oracle."""
+    from scotty_window_processor_spark.functions import CountAggregation, SumAggregation
+    from scotty_window_processor_spark.operators import SessionWindow, WindowMeasure
+
+    return _replay_events_stream(
+        spark, sf_dir,
+        windows=[SessionWindow(WindowMeasure.TIME, GAP_30M, window_id=3)],
+        aggs=[("n", "long", CountAggregation), ("sum_value", "double", SumAggregation)],
+        select_cols=[
+            F.col("user_id"), F.col("w_start"), F.col("w_end"), F.col("n"),
+            F.round("sum_value", 2).alias("sum_value"),
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tumbling_1h": q_tumbling_1h,
@@ -478,6 +603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_decode": q_multimodal_decode,
         "frame_sample": q_frame_sample,
+        "stream_tumbling_1h": q_stream_tumbling_1h,
+        "stream_session_30m": q_stream_session_30m,
     }
 
 
@@ -1052,4 +1179,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _near_dup_sql(),
         "multimodal_decode": _MULTIMODAL,
         "frame_sample": _FRAME_SAMPLE,
+        # the streaming replays must emit EXACTLY the batch oracle rows
+        # (sentinel-flushed final watermark covers every window)
+        "stream_tumbling_1h": _TUMBLING_1H,
+        "stream_session_30m": _SESSION_30M,
     }
