@@ -250,6 +250,22 @@ class SessionWindow(Window):
     gap: int = 1
 
     def __init__(self, measure: WindowMeasure, gap: int, window_id: int = -1):
+        if measure == WindowMeasure.COUNT:
+            # Conformance decision (SURVEY §2, reference parity): the
+            # reference's SessionWindow nominally accepts
+            # WindowMeasure.Count (core/.../SessionWindow.java:19-27) but
+            # its SliceManager always feeds the session context EVENT TIME
+            # (SliceManager.java:61,69), so a Count session silently runs
+            # as a TIME session with the gap read in milliseconds — a trap,
+            # not a feature (no reference test covers it). We fail fast
+            # instead of reproducing the mislabeled behavior; pinned by
+            # tests/test_session.py::test_count_measure_session_rejected.
+            raise ValueError(
+                "SessionWindow supports WindowMeasure.TIME only: count-measure "
+                "sessions are not defined (the reference silently treats them "
+                "as time sessions). Use a count-measure Tumbling/SlidingWindow "
+                "or a time-measure SessionWindow."
+            )
         super().__init__(measure, window_id)
         self.gap = gap
 

@@ -59,16 +59,25 @@ def _fake_decode(payload: bytes, media_type: str):
     return (320, 240, 1 + n % 120, "h264-stub")
 
 
-def decode_metadata(df: DataFrame) -> DataFrame:
+def decode_metadata(df: DataFrame, codec=None) -> DataFrame:
     """Arrow-batched decode stage: binary payload → typed metadata rows.
 
     mapInPandas preserves partitioning (no shuffle); batch size follows
-    spark.sql.execution.arrow.maxRecordsPerBatch."""
+    spark.sql.execution.arrow.maxRecordsPerBatch.
+
+    ``codec`` is the ONE-FUNCTION swap seam: any
+    ``(payload: bytes, media_type: str) -> (width, height, n_frames,
+    codec_name)`` callable (e.g. a PIL/pyav-backed decoder) slots in with
+    zero plan changes — the closure ships to the Python workers with the
+    stage. Defaults to the deterministic ``_fake_decode`` stub (no media
+    libraries in this environment). The swap contract is pinned by
+    tests/test_multimodal_seam.py."""
+    decode = codec if codec is not None else _fake_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             meta = [
-                _fake_decode(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])
+                decode(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])
             ]
             out = pd.DataFrame(
                 meta, columns=["width", "height", "n_frames", "codec"]

@@ -202,3 +202,16 @@ def test_eviction_never_crosses_active_session_start():
     assert sessions == [(1, 1, 120, (44.0, 37))], sessions
     independent = run([SessionWindow(WindowMeasure.TIME, 15, window_id=1)])
     assert sessions == independent, (sessions, independent)
+
+
+def test_count_measure_session_rejected():
+    """Conformance pin: the reference's SessionWindow nominally accepts
+    WindowMeasure.Count but its SliceManager always feeds the session
+    context event TIME, so Count sessions silently run as time sessions.
+    This engine rejects the construction outright."""
+    import pytest as _pytest
+
+    from scotty_window_processor_spark.operators import WindowMeasure
+
+    with _pytest.raises(ValueError, match="TIME only"):
+        SessionWindow(WindowMeasure.COUNT, 10)
