@@ -233,6 +233,12 @@ def scotty_stream(
     """Streaming windowed aggregation with slice sharing across all
     `windows`. Returns the streaming result DataFrame (attach a sink with
     streaming.sink.exactly_once_parquet_sink or .writeStream)."""
+    if value is not None:
+        # column-prune BEFORE the state shuffle: in value mode the handler
+        # reads only (key, ts, value), so payload columns (transcript text
+        # etc.) must not cross the shuffle or the Arrow boundary — and the
+        # select pushes the pruning all the way into the source scan
+        stream_df = stream_df.select(*dict.fromkeys([key, ts, value]))
     key_field = stream_df.schema[key]
     schema = output_schema(key, key_field.dataType, aggs)
     handler = make_handler(

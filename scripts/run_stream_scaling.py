@@ -33,12 +33,19 @@ import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, __REPO__)
 from bench import build_spark
 from pyspark.sql import functions as F
+
+PROVIDER = os.environ.get("STATE_PROVIDER", "")
 from scotty_window_processor_spark.sources import transcripts_schema
 from scotty_window_processor_spark.streaming.processor import scotty_stream
 from scotty_window_processor_spark.functions import CountAggregation, SumAggregation
 from scotty_window_processor_spark.operators import SessionWindow, TumblingWindow, WindowMeasure
 
 spark = build_spark(os.environ["CPUS"])
+if PROVIDER == "rocksdb":
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
 spark.sparkContext.setLogLevel("ERROR")
 n_turns = spark.read.parquet(os.environ["DATA"]).count()
 
@@ -68,8 +75,9 @@ print("RESULT " + json.dumps({
 """
 
 
-def run_at(cpus: int, repeats: int) -> dict:
-    env = dict(os.environ, CPUS=str(cpus), DATA=DATA, REPEATS=str(repeats))
+def run_at(cpus: int, repeats: int, mfpt: int = 16, provider: str = "") -> dict:
+    env = dict(os.environ, CPUS=str(cpus), DATA=DATA, REPEATS=str(repeats),
+               MFPT=str(mfpt), STATE_PROVIDER=provider)
     out = subprocess.run(
         [sys.executable, "-c", CHILD.replace("__REPO__", repr(REPO))],
         env=env, capture_output=True, text=True, timeout=3000,
@@ -103,14 +111,18 @@ def main():
     ap.add_argument("--low", type=int, default=4)
     ap.add_argument("--high", type=int, default=16)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--mfpt", type=int, default=16, help="maxFilesPerTrigger")
+    ap.add_argument("--provider", default="", choices=["", "rocksdb"],
+                    help="state store provider override")
     args = ap.parse_args()
 
     ensure_data(args.n_convs, args.turns_per_conv, args.n_files)
-    low = run_at(args.low, args.repeats)
-    high = run_at(args.high, args.repeats)
+    low = run_at(args.low, args.repeats, args.mfpt, args.provider)
+    high = run_at(args.high, args.repeats, args.mfpt, args.provider)
     factor = args.high / args.low
     efficiency = (high["turns_per_sec"] / low["turns_per_sec"]) / factor
-    result = {"low": low, "high": high, "scaling_efficiency": round(efficiency, 3)}
+    result = {"low": low, "high": high, "scaling_efficiency": round(efficiency, 3),
+              "mfpt": args.mfpt, "provider": args.provider or "hdfs(default)"}
     print(json.dumps(result, indent=2))
 
 
