@@ -386,6 +386,7 @@ class SlicingWindowOperator:
         self.functions: List[AggregateFunction] = []
         self.context_free: List[Window] = []
         self.contexts: List[SessionContext] = []
+        self.registered_window_ids: set = set()
         self.has_fixed_windows = False
         self.has_count_measure = False
         self.has_time_measure = False
@@ -405,6 +406,7 @@ class SlicingWindowOperator:
 
     def add_window(self, window: Window) -> None:
         """Register a window; supports dynamic addition mid-stream."""
+        self.registered_window_ids.add(window.window_id)
         if window.is_context_free:
             self.context_free.append(window)
             self.max_fixed_window_size = max(self.max_fixed_window_size, window.clear_delay())

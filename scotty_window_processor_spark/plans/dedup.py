@@ -58,6 +58,17 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     scale inputs have >> slots splits and this is a metadata no-op; the
     getNumPartitions() check is driver-side metadata, not a job."""
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    # At real scale the file index alone proves there are >= slots scan
+    # splits (each file is at least one split), so the common path never
+    # converts the plan to an RDD. Only when the index shows fewer files
+    # than slots (tiny/local inputs, or a non-file source where
+    # inputFiles() is empty) do we pay the driver-side RDD conversion to
+    # learn the true split count.
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -137,9 +137,13 @@ def make_handler(
     aggs: Sequence[AggSpec],
     lateness_ms: int,
     out_fields: List[str],
+    window_registry: str | None = None,
+    registry_poll_s: float = 10.0,
 ):
     """Build the applyInPandasWithState handler (pure function of config —
-    shippable to executors via --py-files)."""
+    shippable to executors via --py-files). With `window_registry`, the
+    handler also merges the registry file's windows into every kernel it
+    touches — the live mid-stream addWindow path (streaming.registry)."""
     from .state_codec import decode_op, encode_op
 
     window_defs = list(windows)
@@ -148,11 +152,16 @@ def make_handler(
     bulk_kinds = _bulk_kinds(agg_specs) if value_col is not None else None
     typed = typed_state_eligible(window_defs, agg_specs, value_col)
 
-    def new_op() -> SlicingWindowOperator:
+    def new_op(extra: Sequence[Window]) -> SlicingWindowOperator:
         op = SlicingWindowOperator(max_lateness=lateness_ms)
         for _, _, factory in agg_specs:
             op.add_aggregation(factory())
+        # registry windows strictly AFTER the base list: the typed state
+        # codec indexes session contexts positionally, and the registry is
+        # append-only, so this keeps every previously-encoded ctx_idx valid
         for w in window_defs:
+            op.add_window(w)
+        for w in extra:
             op.add_window(w)
         return op
 
@@ -164,13 +173,25 @@ def make_handler(
         # keys with no fresh data — the reference instead loops over all
         # keys on every watermark advance (KeyedScottyWindowOperator
         # .java:65-78), which a distributed state store cannot do.
-        op = new_op()
+        if window_registry is not None:
+            from .registry import read_registry
+
+            base_ids = {w.window_id for w in window_defs}
+            dyn = [w for w in read_registry(window_registry, registry_poll_s)
+                   if w.window_id not in base_ids]
+        else:
+            dyn = []
+        op = new_op(dyn)
         if state.exists:
             if typed:
                 scalars, sessions, slices = state.get
                 decode_op(op, bulk_kinds, scalars, sessions, slices)
             else:
                 op = pickle.loads(state.get[0])
+                known = op.registered_window_ids
+                for w in dyn:
+                    if w.window_id not in known:
+                        op.add_window(w)
 
         import time as _time
 
@@ -229,10 +250,19 @@ def scotty_stream(
     aggs: Sequence[AggSpec],
     watermark_delay: str = "30 seconds",
     lateness_ms: int = 30_000,
+    window_registry: str | None = None,
+    registry_poll_s: float = 10.0,
 ) -> DataFrame:
     """Streaming windowed aggregation with slice sharing across all
     `windows`. Returns the streaming result DataFrame (attach a sink with
-    streaming.sink.exactly_once_parquet_sink or .writeStream)."""
+    streaming.sink.exactly_once_parquet_sink or .writeStream).
+
+    `window_registry` names a control file (streaming.registry) whose
+    TIME-measure windows are merged into every key's kernel at runtime —
+    `registry_add_window(path, w)` adds a window to the RUNNING query
+    (the reference's live addWindow, WindowManager.java:124-143), no
+    restart or state loss; executors re-stat the file at most every
+    `registry_poll_s` seconds."""
     if value is not None:
         # column-prune BEFORE the state shuffle: in value mode the handler
         # reads only (key, ts, value), so payload columns (transcript text
@@ -242,7 +272,8 @@ def scotty_stream(
     key_field = stream_df.schema[key]
     schema = output_schema(key, key_field.dataType, aggs)
     handler = make_handler(
-        key, ts, value, windows, aggs, lateness_ms, [f.name for f in schema.fields]
+        key, ts, value, windows, aggs, lateness_ms, [f.name for f in schema.fields],
+        window_registry=window_registry, registry_poll_s=registry_poll_s,
     )
     state_schema = (
         typed_state_schema(len(aggs))

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from scotty_window_processor_spark.functions import CountAggregation, SumAggregation
 from scotty_window_processor_spark.operators import (
     SessionWindow,
+    SlidingWindow,
     TumblingWindow,
     WindowMeasure,
 )
@@ -368,3 +369,125 @@ def test_dynamic_window_addition_via_checkpoint_restart(spark, transcript_files,
         f"added window wrong for post-restart instances: missing "
         f"{len(expected - got_full)}, extra {len(got_full - expected)}"
     )
+
+
+def test_live_window_addition_via_registry(spark, transcript_files, tmp_path):
+    """Dynamic window addition on a RUNNING query (no restart): the query
+    reads its window list through a registry file (streaming.registry);
+    registry_add_window while the query is live makes every key's kernel
+    pick the window up on its next invocation — the reference's
+    addWindow-on-a-live-operator (WindowManager.java:124-143), expressed
+    as a Spark control-plane file instead of a driver method call."""
+    from scotty_window_processor_spark.streaming.registry import (
+        registry_add_window,
+        write_registry,
+    )
+
+    src_all, pdf = transcript_files
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    files = sorted(glob.glob(os.path.join(src_all, "*.parquet")))
+
+    def deliver(f, seq):
+        tmp_name = os.path.join(src_dir, "._" + os.path.basename(f))
+        dst = os.path.join(src_dir, os.path.basename(f))
+        shutil.copy(f, tmp_name)
+        os.utime(tmp_name, (1_700_000_000 + seq, 1_700_000_000 + seq))
+        os.rename(tmp_name, dst)
+
+    registry = str(tmp_path / "windows.json")
+    write_registry(registry, [])
+    ckpt = str(tmp_path / "ckpt_live")
+    out_dir = str(tmp_path / "out_live")
+    sink = ExactlyOnceParquetSink(out_dir)
+
+    for i, f in enumerate(files[:3]):
+        deliver(f, i)
+    result = scotty_stream(
+        _read_stream(spark, src_dir), key="conv_id", ts="ts", value="turn_idx",
+        windows=[TumblingWindow(WindowMeasure.TIME, 600_000, window_id=1)],
+        aggs=[("turns", "long", CountAggregation)],
+        watermark_delay="30 seconds", lateness_ms=30_000,
+        window_registry=registry, registry_poll_s=0.0,
+    )
+    q = (
+        result.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        phase1 = sink.read_committed(spark).collect()
+        assert all(r["window_id"] == 1 for r in phase1)
+        wm_add = max(r["w_end"] for r in phase1)  # watermark is past this
+
+        # the query KEEPS RUNNING across the add
+        registry_add_window(
+            registry, TumblingWindow(WindowMeasure.TIME, 1_800_000, window_id=2)
+        )
+        for i, f in enumerate(files[3:]):
+            deliver(f, 3 + i)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    all_rows = sink.read_committed(spark).collect()
+    phase1_keys = {(r["conv_id"], r["window_id"], r["w_start"]) for r in phase1}
+    phase2 = [r for r in all_rows
+              if (r["conv_id"], r["window_id"], r["w_start"]) not in phase1_keys]
+
+    # the original window keeps emitting with no dupes across the add
+    w1 = [r for r in [*phase1, *phase2] if r["window_id"] == 1]
+    keys = [(r["conv_id"], r["w_start"]) for r in w1]
+    assert len(keys) == len(set(keys)), "window 1 duplicated across live add"
+
+    # the added window emits, and matches batch for instances fully after
+    # the add watermark (earlier instances legitimately see only retained
+    # slices — reference add-mid-stream visibility)
+    w2 = [r for r in phase2 if r["window_id"] == 2]
+    assert w2, "live-added window never emitted"
+    batch = scotty_window_aggregate(
+        spark.read.parquet(src_dir), key="conv_id", ts="ts", value="turn_idx",
+        windows=[TumblingWindow(WindowMeasure.TIME, 1_800_000, window_id=2)],
+        aggs=[("turns", "long", CountAggregation)], lateness_ms=30_000,
+    )
+    final_wm = int(pdf["ts"].max().value // 10**6) - 30_000
+    expected = {
+        (r["conv_id"], r["w_start"], r["w_end"], r["turns"])
+        for r in batch.collect() if r["w_start"] >= wm_add and r["w_end"] < final_wm
+    }
+    got_full = {
+        (r["conv_id"], r["w_start"], r["w_end"], r["turns"])
+        for r in w2 if r["w_start"] >= wm_add and r["w_end"] < final_wm
+    }
+    assert expected == got_full, (
+        f"live-added window wrong for post-add instances: missing "
+        f"{len(expected - got_full)}, extra {len(got_full - expected)}"
+    )
+
+
+def test_registry_rejects_count_measure_and_duplicate_ids(tmp_path):
+    from scotty_window_processor_spark.streaming.registry import (
+        read_registry,
+        registry_add_window,
+        window_from_spec,
+        window_to_spec,
+        write_registry,
+    )
+
+    path = str(tmp_path / "reg.json")
+    with pytest.raises(ValueError, match="TIME-measure"):
+        write_registry(path, [TumblingWindow(WindowMeasure.COUNT, 10, window_id=1)])
+    with pytest.raises(ValueError, match="window_id"):
+        write_registry(path, [TumblingWindow(WindowMeasure.TIME, 10)])
+
+    write_registry(path, [TumblingWindow(WindowMeasure.TIME, 600_000, window_id=1)])
+    registry_add_window(path, SessionWindow(WindowMeasure.TIME, 300_000, window_id=2))
+    with pytest.raises(ValueError, match="already registered"):
+        registry_add_window(path, TumblingWindow(WindowMeasure.TIME, 5, window_id=2))
+
+    got = read_registry(path, poll_interval_s=0.0)
+    assert [w.window_id for w in got] == [1, 2]
+    assert isinstance(got[1], SessionWindow) and got[1].gap == 300_000
+    # round-trip covers the sliding spec too
+    s = SlidingWindow(WindowMeasure.TIME, 100, 25, window_id=7)
+    assert window_from_spec(window_to_spec(s)).slide == 25
