@@ -14,6 +14,9 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -85,53 +88,46 @@ def signed_projection_buckets(
     """Random-hyperplane LSH: per table, a `planes_per_table`-bit signature
     of sign(v·h). Same-bucket vectors have small angular distance whp.
 
-    The hyperplane MATRIX is one array-of-arrays literal and all
-    tables×planes projections come from a single nested transform — data,
-    not 60 inlined expression trees (the unrolled form cost ~8s of
-    Catalyst analysis/codegen per query). The per-plane arithmetic is
-    unchanged (zip_with multiply + sequential sum), so the DuckDB oracle
-    (per-plane list_inner_product) still matches bit-for-bit. The input
-    vector is let_-bound so the array cast happens once per row, not once
-    per plane."""
-    from .dedup import let_
+    The tables×planes projection is ONE vectorized Arrow-batched pandas
+    UDF (numpy (N×dim)·(dim×planes)), not a Catalyst expression tree: the
+    expression form — 60 higher-order-function folds over a 3,840-literal
+    matrix — cost ~4 s of driver-side analysis+codegen per build, twice
+    per LSH query, dwarfing its execution; the numpy form is millisecond
+    execution and zero plan-compile cost, and at scale the matmul is the
+    textbook shape for a wide projection.
 
+    ORACLE PARITY: the accumulation runs sequentially over the dim axis,
+    so every per-(row,plane) float64 add/multiply happens in exactly the
+    order of the previous left fold (F.aggregate(zip_with(...))) — the
+    bucket bits are bit-identical to what the DuckDB oracle's per-plane
+    list_inner_product sign test reproduces."""
     n_planes = tables * planes_per_table
-    matrix = F.array(
-        *[
-            F.array(*[F.lit(x) for x in _hyperplane(dim, i)])
-            for i in range(n_planes)
-        ]
-    )
-    powers = F.array(*[F.lit(1 << p).cast("long") for p in range(planes_per_table)])
+    # dim × planes, so acc accumulates over rows of H
+    H = np.array(
+        [_hyperplane(dim, i) for i in range(n_planes)], dtype=np.float64
+    ).T.copy()
+    powers = 1 << np.arange(planes_per_table, dtype=np.int64)
+    t_count = tables
+    ppt = planes_per_table
 
-    def buckets_of(v):
-        # nested let_: the 60 projections are referenced once per table —
-        # bind them so the dot products run once per row, not per table
-        def from_projs(projs):
-            return F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        F.aggregate(
-                            F.zip_with(
-                                F.slice(projs, t * planes_per_table + 1, planes_per_table),
-                                powers,
-                                lambda x, pw: F.when(x > 0, pw).otherwise(F.lit(0).cast("long")),
-                            ),
-                            F.lit(0).cast("long"),
-                            lambda acc, b: acc + b,
-                        ).alias("bucket"),
-                    )
-                    for t in range(tables)
-                ]
-            )
+    @F.pandas_udf("array<long>")
+    def bucket_ids(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        V = np.array(vs.tolist(), dtype=np.float64)
+        acc = np.zeros((V.shape[0], H.shape[1]), dtype=np.float64)
+        for k in range(V.shape[1]):  # sequential over dims: left-fold order
+            acc += V[:, k : k + 1] * H[k : k + 1, :]
+        bits = acc > 0
+        out = np.empty((V.shape[0], t_count), dtype=np.int64)
+        for t in range(t_count):
+            out[:, t] = bits[:, t * ppt : (t + 1) * ppt] @ powers
+        return pd.Series(list(out))
 
-        return let_(F.transform(matrix, lambda h: _dot(v, h)), from_projs)
-
-    vec = F.col(vec_col).cast("array<double>")
     return df.select(
-        F.col(id_col).alias("id"), F.explode(let_(vec, buckets_of)).alias("tb")
-    ).select("id", "tb.tbl", "tb.bucket")
+        F.col(id_col).alias("id"),
+        F.posexplode(bucket_ids(F.col(vec_col).cast("array<double>"))).alias("tbl", "bucket"),
+    )
 
 
 def cosine_topk_lsh(

@@ -63,16 +63,34 @@ class ExactlyOnceParquetSink:
         # data files from earlier snapshots, so a raw parquet read would
         # double-count exactly in the crash-replay case this sink exists for
         written = spark.read.format(self.table_format).load(path)
-        stats = written.agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.min("w_start").alias("min_w_start"),
-            F.max("w_end").alias("max_w_end"),
-        ).collect()[0]
+        # lineage at PARTITION granularity (north_rule): one row per
+        # committed data file (= one write task partition), aggregated in a
+        # single pass — the batch totals are the partition sums
+        parts = (
+            written.groupBy(F.input_file_name().alias("file"))
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.min("w_start").alias("min_w_start"),
+                F.max("w_end").alias("max_w_end"),
+            )
+            .collect()
+        )
         manifest = {
             "batch_id": batch_id,
-            "rows": stats["rows"],
-            "min_w_start": stats["min_w_start"],
-            "max_w_end": stats["max_w_end"],
+            "rows": sum(p["rows"] for p in parts),
+            "min_w_start": min((p["min_w_start"] for p in parts), default=None),
+            "max_w_end": max((p["max_w_end"] for p in parts), default=None),
+            "partitions": [
+                {
+                    # strip the batch directory prefix: file ids stay valid
+                    # if the table is relocated
+                    "file": p["file"].split(f"batch_id={batch_id}/", 1)[-1],
+                    "rows": p["rows"],
+                    "min_w_start": p["min_w_start"],
+                    "max_w_end": p["max_w_end"],
+                }
+                for p in sorted(parts, key=lambda p: p["file"])
+            ],
             "committed_at_ms": int(time.time() * 1000),
             "path": path,
         }

@@ -181,6 +181,13 @@ def test_exactly_once_sink_with_restart(spark, transcript_files, tmp_path):
     assert lineage, "no lineage manifests"
     total = sum(m["rows"] for m in lineage)
     assert total == final.count()
+    # lineage is per-PARTITION: each manifest lists its committed files,
+    # and the per-file rows sum to the batch total
+    for m in lineage:
+        assert sum(p["rows"] for p in m["partitions"]) == m["rows"]
+        assert all(p["file"] and "/" not in p["file"] for p in m["partitions"])
+        if m["rows"]:
+            assert m["min_w_start"] == min(p["min_w_start"] for p in m["partitions"])
 
     # append-mode emission is final-only: each closed window appears once
     # and matches the batch recompute for closed windows
@@ -491,3 +498,47 @@ def test_registry_rejects_count_measure_and_duplicate_ids(tmp_path):
     # round-trip covers the sliding spec too
     s = SlidingWindow(WindowMeasure.TIME, 100, 25, window_id=7)
     assert window_from_spec(window_to_spec(s)).slide == 25
+
+
+def test_stream_metrics_recorder(spark, transcript_files, tmp_path):
+    """Per-micro-batch metrics land as atomic JSON files: input rows sum
+    to the delivered turns, state-operator rows and watermark progress are
+    present, and (query id, batch id) keys are unique."""
+    import time as _t
+
+    from scotty_window_processor_spark.streaming.metrics import StreamMetricsRecorder
+
+    src_dir, pdf = transcript_files
+    rec = StreamMetricsRecorder(str(tmp_path / "metrics"))
+    spark.streams.addListener(rec)
+    try:
+        result = scotty_stream(
+            _read_stream(spark, src_dir), key="conv_id", ts="ts", value="turn_idx",
+            windows=[TumblingWindow(WindowMeasure.TIME, 600_000, window_id=1)],
+            aggs=[("turns", "long", CountAggregation)],
+            watermark_delay="30 seconds", lateness_ms=30_000,
+        )
+        q = (
+            result.writeStream.format("memory").queryName("metrics_probe")
+            .option("checkpointLocation", str(tmp_path / "ckpt_metrics"))
+            .outputMode("append").start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # listener callbacks are asynchronous: poll until the recorded
+        # input rows cover everything the query consumed
+        for _ in range(150):
+            if sum(r["numInputRows"] for r in rec.records()) >= len(pdf):
+                break
+            _t.sleep(0.2)
+    finally:
+        spark.streams.removeListener(rec)
+
+    recs = rec.records()
+    assert sum(r["numInputRows"] for r in recs) == len(pdf)
+    assert any(
+        op["numRowsTotal"] > 0 for r in recs for op in r["stateOperators"]
+    ), "no state-operator metrics recorded"
+    assert any((r["eventTime"] or {}).get("watermark") for r in recs)
+    keys = [(r["id"], r["batchId"]) for r in recs]
+    assert len(keys) == len(set(keys))
