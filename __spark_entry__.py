@@ -572,6 +572,29 @@ def q_stream_session_30m(spark, sf_dir):
     )
 
 
+def q_stream_quantile_6h(spark, sf_dir):
+    """Streaming replay with a CUSTOM lift/combine/lower aggregate
+    (QuantileAggregation, the QuantileWindowFunction analogue): exercises
+    the pickled-kernel state tier of the streaming operator — typed Arrow
+    state only covers numpy-reducible functions — against the same DuckDB
+    oracle as the batch scotty_quantile_kernel gate."""
+    from scotty_window_processor_spark.functions import CountAggregation, QuantileAggregation
+    from scotty_window_processor_spark.operators import TumblingWindow, WindowMeasure
+
+    return _replay_events_stream(
+        spark, sf_dir,
+        windows=[TumblingWindow(WindowMeasure.TIME, 6 * SIZE_H, window_id=1)],
+        aggs=[
+            ("n", "long", CountAggregation),
+            ("median_value", "double", QuantileAggregation),
+        ],
+        select_cols=[
+            F.col("user_id"), F.col("w_start"), F.col("w_end"), F.col("n"),
+            F.round("median_value", 2).alias("median_value"),
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tumbling_1h": q_tumbling_1h,
@@ -605,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "stream_tumbling_1h": q_stream_tumbling_1h,
         "stream_session_30m": q_stream_session_30m,
+        "stream_quantile_6h": q_stream_quantile_6h,
     }
 
 
@@ -1183,4 +1207,5 @@ def oracle_sql() -> dict[str, str]:
         # (sentinel-flushed final watermark covers every window)
         "stream_tumbling_1h": _TUMBLING_1H,
         "stream_session_30m": _SESSION_30M,
+        "stream_quantile_6h": _QUANTILE_KERNEL,
     }

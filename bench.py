@@ -241,6 +241,18 @@ def main():
     # query doesn't absorb session startup (~4-5s on this box)
     for t in ("events", "documents", "embeddings", "lineitem"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+    # ...and the Python worker pool + Arrow codec path: the first
+    # pandas-tier query otherwise pays ~4 s of interpreter fork/startup
+    # that belongs to the session, not the operator being measured
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(int(CPUS) * 1000)
+        .withColumn("g", F.col("id") % int(CPUS))
+        .groupBy("g")
+        .applyInPandas(lambda p: p, "id long, g long")
+        .count()
+    )
 
     timings = {}
     for name in headline:

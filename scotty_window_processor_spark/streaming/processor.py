@@ -71,14 +71,49 @@ def _bulk_kinds(aggs: Sequence[AggSpec]) -> list[str] | None:
     return kinds
 
 
-def feed_sorted_batch(op: SlicingWindowOperator, elements, ts_ms, bulk_kinds) -> None:
+def _feed_kinds(aggs: Sequence[AggSpec], value_col) -> list | None:
+    """Segment-lift spec for feed_sorted_batch, one entry per function: a
+    numpy-reduction NAME for the standard aggregates, or the function's
+    own ``bulk_lift_values`` callable for custom functions that declare
+    one (quantile histograms, payload tallies — same contract as the
+    batch tier, plans/scotty_batch._bulk_lift_kinds). None routes the key
+    through the exact per-element loop. Broader than _bulk_kinds: the
+    TYPED state codec still requires all-standard functions, but the
+    in-order bulk feed only needs segment associativity."""
+    if value_col is None:
+        return None
+    kinds = []
+    for _, _, factory in aggs:
+        fn = factory()
+        named = _BULK_KINDS.get(type(fn))
+        if named is not None:
+            kinds.append(named)
+        elif fn.bulk_lift_values is not None:
+            kinds.append(fn.bulk_lift_values)
+        else:
+            return None
+    return kinds
+
+
+def feed_sorted_batch(
+    op: SlicingWindowOperator, elements, ts_ms, bulk_kinds, min_bulk_custom: int = 64
+) -> None:
     """Feed one ts-sorted micro-batch into a kernel: the out-of-order
     prefix (before the operator's event-time frontier) takes the exact
     per-element surgery path, the in-order suffix takes the vectorized
     bulk path (the reference's StreamSlicer.java:50-51 in-order branch,
     in segment form). Falls back to the per-element loop when the
-    function/window mix is not numpy-reducible."""
-    if bulk_kinds is not None and op.bulk_eligible():
+    function/window mix is not numpy-reducible — and, for CUSTOM segment
+    lifts (callable kinds), when the key's batch is shorter than
+    ``min_bulk_custom``: an np.unique/Counter per near-empty segment
+    costs more than a handful of per-element merges (measured 2× slower
+    on the replay gate's ~5-row key-batches), while the named numpy
+    reductions stay cheap at any size."""
+    if (
+        bulk_kinds is not None
+        and op.bulk_eligible()
+        and not (len(ts_ms) < min_bulk_custom and any(callable(k) for k in bulk_kinds))
+    ):
         import numpy as np
 
         frontier = op._max_event_time
@@ -150,6 +185,7 @@ def make_handler(
     agg_specs = list(aggs)
 
     bulk_kinds = _bulk_kinds(agg_specs) if value_col is not None else None
+    feed_kinds = _feed_kinds(agg_specs, value_col)
     typed = typed_state_eligible(window_defs, agg_specs, value_col)
 
     def new_op(extra: Sequence[Window]) -> SlicingWindowOperator:
@@ -207,7 +243,7 @@ def make_handler(
             else:
                 elements = pdf.to_dict("records")
 
-            feed_sorted_batch(op, elements, ts_ms, bulk_kinds)
+            feed_sorted_batch(op, elements, ts_ms, feed_kinds)
 
         wm = state.getCurrentWatermarkMs()
         rows = []
