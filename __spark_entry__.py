@@ -457,7 +457,8 @@ def q_frame_sample(spark, sf_dir):
 _STREAM_SEQ = [0]
 
 
-def _replay_events_stream(spark, sf_dir, windows, aggs, select_cols):
+def _replay_events_stream(spark, sf_dir, windows, aggs, select_cols,
+                          value="value", project=None):
     """Write events (ts-sorted) as 6 parquet files + one far-future
     sentinel row, replay with maxFilesPerTrigger=1 through scotty_stream,
     block until drained, return the emitted windows as a batch DataFrame.
@@ -466,6 +467,10 @@ def _replay_events_stream(spark, sf_dir, windows, aggs, select_cols):
     watermark past every real window end + gap + lateness, so the final
     no-data micro-batch's timers flush ALL windows — making the emitted
     set comparable to a batch oracle instead of only "closed so far".
+
+    ``value=None`` runs the operator in RECORD mode (full-row elements for
+    payload lift/combine/lower aggregates); ``project(df)`` reshapes the
+    events table (e.g. into the transcript payload shape) before replay.
     """
     import os as _os
     import shutil
@@ -477,7 +482,11 @@ def _replay_events_stream(spark, sf_dir, windows, aggs, select_cols):
     from scotty_window_processor_spark.streaming.processor import scotty_stream
 
     _utc(spark)
-    batch = _events(spark, sf_dir).select("user_id", "ts", "value", "event_id")
+    batch = _events(spark, sf_dir)
+    if project is not None:
+        batch = project(batch)
+    else:
+        batch = batch.select("user_id", "ts", "value", "event_id")
     schema = batch.schema
     pdf = batch.toPandas().sort_values("ts", kind="mergesort").reset_index(drop=True)
     sentinel_ts = pdf["ts"].max() + __import__("pandas").Timedelta(days=1)
@@ -494,7 +503,8 @@ def _replay_events_stream(spark, sf_dir, windows, aggs, select_cols):
         sentinel = pdf.iloc[:1].copy()
         sentinel["user_id"] = -1
         sentinel["ts"] = sentinel_ts
-        sentinel["value"] = 0.0
+        if "value" in sentinel.columns:
+            sentinel["value"] = 0.0
         pieces.append(sentinel)
         mtime = 1_000_000_000
         for i, part in enumerate(p for p in pieces if len(p)):
@@ -519,7 +529,7 @@ def _replay_events_stream(spark, sf_dir, windows, aggs, select_cols):
             .withColumn("ts", F.col("ts").cast("timestamp"))
         )
         result = scotty_stream(
-            stream, key="user_id", ts="ts", value="value",
+            stream, key="user_id", ts="ts", value=value,
             windows=windows, aggs=aggs,
             watermark_delay="30 seconds", lateness_ms=30_000,
         )
@@ -595,6 +605,44 @@ def q_stream_quantile_6h(spark, sf_dir):
     )
 
 
+def q_stream_payload_6h(spark, sf_dir):
+    """Streaming replay of the NORTH-STAR payload aggregates (tool-call
+    tally + per-role ordered text rollup) in RECORD mode: full-row
+    elements flow through the stateful slicing operator's pickled-kernel
+    state tier with custom lift/combine/lower functions — the streaming
+    twin of scotty_payload_kernel, gated against the same _PAYLOAD_KERNEL
+    DuckDB oracle. Rollup order is (ts, turn_idx), so micro-batch
+    boundaries cannot reorder the concatenation."""
+    from scotty_window_processor_spark.functions import (
+        CountAggregation,
+        RoleTextRollupString,
+        ToolTallyString,
+    )
+    from scotty_window_processor_spark.operators import TumblingWindow, WindowMeasure
+
+    def project(events):
+        return events.select(
+            "user_id",
+            "ts",
+            F.col("event_type").alias("role"),
+            F.col("event_type").alias("tool"),
+            F.col("event_id").alias("turn_idx"),
+            F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("text"),
+        )
+
+    return _replay_events_stream(
+        spark, sf_dir,
+        windows=[TumblingWindow(WindowMeasure.TIME, 6 * SIZE_H, window_id=1)],
+        aggs=[
+            ("n", "long", CountAggregation),
+            ("tool_tally", "string", ToolTallyString),
+            ("role_rollup", "string", RoleTextRollupString),
+        ],
+        select_cols=["user_id", "w_start", "w_end", "n", "tool_tally", "role_rollup"],
+        value=None, project=project,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tumbling_1h": q_tumbling_1h,
@@ -629,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tumbling_1h": q_stream_tumbling_1h,
         "stream_session_30m": q_stream_session_30m,
         "stream_quantile_6h": q_stream_quantile_6h,
+        "stream_payload_6h": q_stream_payload_6h,
     }
 
 
@@ -1208,4 +1257,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_tumbling_1h": _TUMBLING_1H,
         "stream_session_30m": _SESSION_30M,
         "stream_quantile_6h": _QUANTILE_KERNEL,
+        "stream_payload_6h": _PAYLOAD_KERNEL,
     }
