@@ -13,6 +13,7 @@ stream slicer's first-edge initialisation relies on it).
 
 from __future__ import annotations
 
+import bisect
 from dataclasses import dataclass, field
 from enum import Enum
 from typing import List
@@ -190,15 +191,20 @@ class SessionContext:
         return position + self.gap
 
     def _get_session(self, position: int) -> int:
+        # Sessions are ordered and non-overlapping, so their ends are
+        # strictly increasing: binary-search the first session with
+        # end + gap >= position instead of scanning from 0 (the reference
+        # scans linearly, WindowContext.java:37-49 — O(active sessions)
+        # per element, quadratic for a key accumulating sessions under a
+        # long watermark horizon). When adjacent extended ranges
+        # [start-gap, end+gap] overlap, the leftmost match wins — same as
+        # the scan, since every earlier session has end + gap < position.
         gap = self.gap
-        i = 0
-        while i < len(self.active_windows):
-            s = self.active_windows[i]
-            if s.start - gap <= position <= s.end + gap:
-                return i
-            if s.start - gap > position:
-                return i - 1
-            i += 1
+        i = bisect.bisect_left(self.active_windows, position, key=lambda w: w.end + gap)
+        if i == len(self.active_windows):
+            return i - 1
+        if self.active_windows[i].start - gap <= position:
+            return i
         return i - 1
 
     def update_context(self, position: int, mods: List[WindowModification]) -> None:
