@@ -458,7 +458,7 @@ _STREAM_SEQ = [0]
 
 
 def _replay_events_stream(spark, sf_dir, windows, aggs, select_cols,
-                          value="value", project=None):
+                          value="value", project=None, build=None):
     """Write events (ts-sorted) as 6 parquet files + one far-future
     sentinel row, replay with maxFilesPerTrigger=1 through scotty_stream,
     block until drained, return the emitted windows as a batch DataFrame.
@@ -528,11 +528,16 @@ def _replay_events_stream(spark, sf_dir, windows, aggs, select_cols,
             # need TIMESTAMP (session tz pinned to UTC, values unchanged)
             .withColumn("ts", F.col("ts").cast("timestamp"))
         )
-        result = scotty_stream(
-            stream, key="user_id", ts="ts", value=value,
-            windows=windows, aggs=aggs,
-            watermark_delay="30 seconds", lateness_ms=30_000,
-        )
+        if build is not None:
+            # custom streaming operator under the same replay harness
+            # (e.g. cep_stream); windows/aggs are unused
+            result = build(stream)
+        else:
+            result = scotty_stream(
+                stream, key="user_id", ts="ts", value=value,
+                windows=windows, aggs=aggs,
+                watermark_delay="30 seconds", lateness_ms=30_000,
+            )
         q = (
             result.writeStream.format("memory").queryName(table)
             .option("checkpointLocation", ckpt).outputMode("append").start()
@@ -643,6 +648,63 @@ def q_stream_payload_6h(spark, sf_dir):
     )
 
 
+_CEP_WITHIN_MS = 7 * 86_400_000  # events are sparse per user (median same-
+# user gap ≈ 7 h), so the funnel span bound is a week
+
+
+def q_cep_funnel(spark, sf_dir):
+    """CEP sequence detection (MATCH_RECOGNIZE core): view → click →
+    purchase on strictly consecutive per-user events ordered by
+    (ts, event_id), overlapping matches allowed, whole run within 7 days.
+    One exchange + one sort feed the whole lead() family; predicate and
+    span bound are whole-stage codegen (plans/cep.py)."""
+    _utc(spark)
+    from scotty_window_processor_spark.plans.cep import match_pattern
+
+    return match_pattern(
+        _events(spark, sf_dir), key="user_id", ts="ts",
+        steps=[
+            lambda c: c["event_type"] == "view",
+            lambda c: c["event_type"] == "click",
+            lambda c: c["event_type"] == "purchase",
+        ],
+        step_cols=["event_type"], within_ms=_CEP_WITHIN_MS,
+        tiebreak="event_id", capture=["event_id"],
+    )
+
+
+def q_stream_cep_funnel(spark, sf_dir):
+    """Streaming replay of the same funnel through the stateful CEP
+    operator (streaming/cep.py): per-key tail state carries partial
+    matches across micro-batches; each match is emitted exactly once when
+    its last row is finalized by the watermark. Gated against the same
+    lead()-based DuckDB oracle as the batch query."""
+    from scotty_window_processor_spark.streaming.cep import cep_stream
+
+    def build(stream):
+        return cep_stream(
+            stream, key="user_id", ts="ts",
+            steps=[
+                lambda d: d["event_type"].to_numpy() == "view",
+                lambda d: d["event_type"].to_numpy() == "click",
+                lambda d: d["event_type"].to_numpy() == "purchase",
+            ],
+            step_cols=["event_type"], within_ms=_CEP_WITHIN_MS,
+            tiebreak="event_id", capture=["event_id"],
+            watermark_delay="30 seconds",
+        )
+
+    def project(events):
+        return events.select("user_id", "ts", "event_type", "event_id")
+
+    return _replay_events_stream(
+        spark, sf_dir, windows=None, aggs=None,
+        select_cols=["user_id", "w_start", "w_end",
+                     "s0_event_id", "s1_event_id", "s2_event_id"],
+        value=None, project=project, build=build,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tumbling_1h": q_tumbling_1h,
@@ -678,6 +740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_30m": q_stream_session_30m,
         "stream_quantile_6h": q_stream_quantile_6h,
         "stream_payload_6h": q_stream_payload_6h,
+        "cep_funnel": q_cep_funnel,
+        "stream_cep_funnel": q_stream_cep_funnel,
     }
 
 
@@ -1221,6 +1285,22 @@ FROM t
 """
 
 
+_CEP_FUNNEL = """
+WITH o AS (
+  SELECT user_id, epoch_ms(ts) AS t0, event_type AS y0, event_id AS e0,
+         lead(event_type, 1) OVER w AS y1, lead(event_id, 1) OVER w AS e1,
+         lead(event_type, 2) OVER w AS y2, lead(event_id, 2) OVER w AS e2,
+         lead(epoch_ms(ts), 2) OVER w AS t2
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, t0 AS w_start, t2 AS w_end,
+       e0 AS s0_event_id, e1 AS s1_event_id, e2 AS s2_event_id
+FROM o
+WHERE y0 = 'view' AND y1 = 'click' AND y2 = 'purchase'
+  AND t2 - t0 <= 604800000
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tumbling_1h": _TUMBLING_1H,
@@ -1258,4 +1338,6 @@ def oracle_sql() -> dict[str, str]:
         "stream_session_30m": _SESSION_30M,
         "stream_quantile_6h": _QUANTILE_KERNEL,
         "stream_payload_6h": _PAYLOAD_KERNEL,
+        "cep_funnel": _CEP_FUNNEL,
+        "stream_cep_funnel": _CEP_FUNNEL,
     }

@@ -1,0 +1,168 @@
+"""Streaming CEP: contiguous sequence-pattern detection on a keyed stream.
+
+Streaming twin of ``plans.cep.match_pattern`` (same semantics: PATTERN
+(S0..S{L-1}) over strictly consecutive rows per key ordered by
+``(ts, tiebreak)``, AFTER MATCH SKIP TO NEXT ROW, optional ``within_ms``
+span bound). A match is emitted exactly once — in the micro-batch whose
+event-time watermark finalizes the match's LAST row.
+
+State per key is bounded: the unfinalized row buffer (rows newer than the
+watermark, the same horizon the slicing operator keeps) plus a tail of at
+most ``L-1`` finalized rows so matches can span finalization boundaries.
+With ``within_ms`` set, tail rows older than ``watermark - within_ms``
+are pruned — any future match through them would violate the span bound
+anyway — so the tail shrinks to empty on idle keys and the state is
+removed outright once both buffers drain.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Callable, Iterator, Optional, Sequence, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# a step predicate sees the candidate rows as a pandas DataFrame and
+# returns a boolean array aligned with them (vectorized, no per-row calls)
+StepPredicateP = Callable[[pd.DataFrame], Any]
+
+STATE_SCHEMA = T.StructType([T.StructField("blob", T.BinaryType(), True)])
+
+
+def _out_schema(key: str, key_type, L: int, capture: Sequence[str], src: T.StructType) -> T.StructType:
+    fields = [
+        T.StructField(key, key_type, True),
+        T.StructField("w_start", T.LongType(), False),
+        T.StructField("w_end", T.LongType(), False),
+    ]
+    for j in range(L):
+        for c in capture:
+            fields.append(T.StructField(f"s{j}_{c}", src[c].dataType, True))
+    return T.StructType(fields)
+
+
+def make_cep_handler(
+    key_name: str,
+    ts_col: str,
+    steps: Sequence[StepPredicateP],
+    cols: Sequence[str],
+    within_ms: Optional[int],
+    tiebreak: Optional[str],
+    capture: Sequence[str],
+    out_fields: Sequence[str],
+):
+    """Pure function of config — shippable to executors via --py-files."""
+    L = len(steps)
+    sort_cols = ["_ts_ms"] + ([tiebreak] if tiebreak else [])
+    keep = list(dict.fromkeys(list(cols) + list(capture) + ([tiebreak] if tiebreak else [])))
+
+    def handler(
+        key: Tuple[Any], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            buf, tail = pickle.loads(state.get[0])
+        else:
+            buf, tail = None, None
+
+        new_parts = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            part = pdf[list(dict.fromkeys(keep + [ts_col]))].copy()
+            part["_ts_ms"] = (
+                part.pop(ts_col).to_numpy().astype("datetime64[ms]").astype("int64")
+            )
+            new_parts.append(part)
+        if new_parts:
+            buf = pd.concat(([buf] if buf is not None else []) + new_parts, ignore_index=True)
+
+        wm = state.getCurrentWatermarkMs()
+        rows = []
+        if wm > 0 and buf is not None and len(buf):
+            final_mask = buf["_ts_ms"].to_numpy() < wm
+            newly = buf[final_mask].sort_values(sort_cols, kind="mergesort")
+            buf = buf[~final_mask].reset_index(drop=True)
+            if len(newly):
+                seq = pd.concat(
+                    ([tail] if tail is not None else []) + [newly], ignore_index=True
+                )
+                n = len(seq)
+                n_tail = n - len(newly)
+                if n >= L:
+                    import numpy as np
+
+                    ok = np.ones(n - L + 1, dtype=bool)
+                    bools = [np.asarray(s(seq), dtype=bool) for s in steps]
+                    for j in range(L):
+                        ok &= bools[j][j : j + n - L + 1]
+                    ts_ms = seq["_ts_ms"].to_numpy()
+                    if within_ms is not None:
+                        ok &= ts_ms[L - 1 :] - ts_ms[: n - L + 1] <= within_ms
+                    # emit only matches whose END row is newly finalized:
+                    # earlier matches were emitted when THEIR end finalized
+                    ok &= np.arange(n - L + 1) + L - 1 >= n_tail
+                    for i in np.nonzero(ok)[0].tolist():
+                        r = [key[0], int(ts_ms[i]), int(ts_ms[i + L - 1])]
+                        for j in range(L):
+                            for c in capture:
+                                r.append(seq[c].iloc[i + j])
+                        rows.append(r)
+                tail = seq.iloc[max(0, n - (L - 1)) :].reset_index(drop=True)
+            if tail is not None and within_ms is not None and len(tail):
+                tail = tail[tail["_ts_ms"].to_numpy() >= wm - within_ms].reset_index(drop=True)
+
+        has_buf = buf is not None and len(buf) > 0
+        has_tail = tail is not None and len(tail) > 0
+        if not has_buf and not has_tail:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((pickle.dumps((buf if has_buf else None, tail if has_tail else None)),))
+            if has_buf:
+                # wake when the watermark next advances so buffered rows
+                # finalize even if this key sees no further data
+                state.setTimeoutTimestamp(max(int(buf["_ts_ms"].min()), wm + 1))
+
+        if rows:
+            yield pd.DataFrame(rows, columns=list(out_fields))
+
+    return handler
+
+
+def cep_stream(
+    stream_df: DataFrame,
+    key: str,
+    ts: str,
+    steps: Sequence[StepPredicateP],
+    step_cols: Sequence[str],
+    within_ms: Optional[int] = None,
+    tiebreak: Optional[str] = None,
+    capture: Sequence[str] = (),
+    watermark_delay: str = "30 seconds",
+) -> DataFrame:
+    """Streaming contiguous-pattern matcher; returns the match stream
+    (append mode). Emissions over any replayed prefix equal the batch
+    ``match_pattern`` result on the finalized rows."""
+    needed = list(dict.fromkeys(list(step_cols) + list(capture) + ([tiebreak] if tiebreak else []) + [key, ts]))
+    pruned = stream_df.select(*needed)
+    schema = _out_schema(key, stream_df.schema[key].dataType, len(steps), capture, stream_df.schema)
+    handler = make_cep_handler(
+        key, ts, steps, step_cols, within_ms, tiebreak, capture,
+        [f.name for f in schema.fields],
+    )
+    return (
+        pruned.withWatermark(ts, watermark_delay)
+        .groupBy(key)
+        .applyInPandasWithState(
+            handler,
+            outputStructType=schema,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

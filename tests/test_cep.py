@@ -1,0 +1,179 @@
+"""CEP pattern matching: batch operator semantics + streaming parity.
+
+Semantics under test (MATCH_RECOGNIZE core): L strictly consecutive rows
+per key ordered by (ts, tiebreak), AFTER MATCH SKIP TO NEXT ROW
+(overlapping matches allowed), optional within_ms span bound. The
+streaming operator must emit each match exactly once — in the micro-batch
+whose watermark finalizes the match's last row — and its total emissions
+must equal the batch result.
+"""
+
+import glob
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from scotty_window_processor_spark.plans.cep import match_pattern
+from scotty_window_processor_spark.streaming.cep import cep_stream
+
+from spark_fixtures import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark()
+
+
+def _mk_events(spark, rows):
+    """rows: (user_id, ts_ms, event_type, event_id)"""
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts_ms", "event_type", "event_id"])
+    pdf["ts"] = pd.to_datetime(pdf.pop("ts_ms"), unit="ms")
+    return spark.createDataFrame(pdf)
+
+
+FUNNEL = [
+    lambda c: c["event_type"] == "a",
+    lambda c: c["event_type"] == "b",
+    lambda c: c["event_type"] == "c",
+]
+
+
+def _run_batch(df, within=None):
+    return sorted(
+        tuple(r)
+        for r in match_pattern(
+            df, key="user_id", ts="ts", steps=FUNNEL, step_cols=["event_type"],
+            within_ms=within, tiebreak="event_id", capture=["event_id"],
+        ).collect()
+    )
+
+
+def test_batch_basic_and_overlap(spark):
+    # a b c a b c  -> two disjoint matches; a b a b c -> one (contiguity)
+    rows = [
+        (1, 1000, "a", 1), (1, 2000, "b", 2), (1, 3000, "c", 3),
+        (1, 4000, "a", 4), (1, 5000, "b", 5), (1, 6000, "c", 6),
+        (2, 1000, "a", 10), (2, 2000, "b", 11), (2, 2500, "a", 12),
+        (2, 3000, "b", 13), (2, 4000, "c", 14),
+    ]
+    got = _run_batch(_mk_events(spark, rows))
+    assert got == [
+        (1, 1000, 3000, 1, 2, 3),
+        (1, 4000, 6000, 4, 5, 6),
+        (2, 2500, 4000, 12, 13, 14),
+    ]
+
+
+def test_batch_within_bound_and_key_isolation(spark):
+    rows = [
+        (1, 0, "a", 1), (1, 10_000, "b", 2), (1, 200_000, "c", 3),  # span 200s
+        (2, 0, "b", 4), (2, 1000, "c", 5),  # pattern can't cross keys
+    ]
+    assert _run_batch(_mk_events(spark, rows), within=100_000) == []
+    assert _run_batch(_mk_events(spark, rows), within=300_000) == [(1, 0, 200_000, 1, 2, 3)]
+
+
+def test_batch_tiebreak_orders_equal_timestamps(spark):
+    # same ts: event_id breaks the tie, so a(1) b(2) c(3) is contiguous
+    rows = [(1, 5000, "a", 1), (1, 5000, "b", 2), (1, 5000, "c", 3)]
+    assert _run_batch(_mk_events(spark, rows)) == [(1, 5000, 5000, 1, 2, 3)]
+
+
+def _replay_stream(spark, rows, n_files, within=None, queryname="cep_out", sort_files=True):
+    """Write rows one file per micro-batch (globally ts-sorted unless
+    sort_files=False, which preserves the given order to exercise
+    intra-batch disorder), run cep_stream, return (emissions, batch
+    result)."""
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="cep_src_")
+    ckpt = tempfile.mkdtemp(prefix="cep_ckpt_")
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts_ms", "event_type", "event_id"])
+    pdf["ts"] = pd.to_datetime(pdf.pop("ts_ms"), unit="ms")
+    batch_df = spark.createDataFrame(pdf)
+
+    # sentinel far past everything flushes all finalizations
+    sent = pdf.iloc[:1].copy()
+    sent["user_id"] = -1
+    sent["ts"] = pdf["ts"].max() + pd.Timedelta(days=365)
+    srt = pdf.sort_values("ts", kind="mergesort") if sort_files else pdf
+    chunk = (len(srt) + n_files - 1) // n_files
+    chunks = [srt.iloc[i * chunk : (i + 1) * chunk] for i in range(n_files)] + [sent]
+    for i, part in enumerate(c for c in chunks if len(c)):
+        tbl = pa.Table.from_pandas(part, preserve_index=False)
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("ts"), "ts",
+            tbl.column("ts").cast(pa.timestamp("us")),
+        )
+        pq.write_table(tbl, f"{src}/{i:04d}.parquet")
+        os.utime(f"{src}/{i:04d}.parquet", (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(batch_df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    steps_py = [
+        lambda d: d["event_type"].to_numpy() == "a",
+        lambda d: d["event_type"].to_numpy() == "b",
+        lambda d: d["event_type"].to_numpy() == "c",
+    ]
+    result = cep_stream(
+        stream, key="user_id", ts="ts", steps=steps_py, step_cols=["event_type"],
+        within_ms=within, tiebreak="event_id", capture=["event_id"],
+        watermark_delay="1 second",
+    )
+    q = (
+        result.writeStream.format("memory").queryName(queryname)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        tuple(r) for r in spark.table(queryname).where(F.col("user_id") >= 0).collect()
+    )
+    want = _run_batch(batch_df.where(F.col("user_id") >= 0), within=within)
+    return got, want
+
+
+def test_stream_matches_batch_across_microbatches(spark):
+    # matches spanning micro-batch boundaries: the a..b / b..c splits land
+    # in different files, so state must carry the tail across triggers
+    rows = [
+        (1, 1_000, "a", 1), (1, 61_000, "b", 2), (1, 121_000, "c", 3),
+        (1, 181_000, "a", 4), (1, 241_000, "b", 5), (1, 301_000, "c", 6),
+        (2, 31_000, "a", 10), (2, 91_000, "b", 11), (2, 151_000, "x", 12),
+        (2, 211_000, "a", 13), (2, 271_000, "b", 14), (2, 331_000, "c", 15),
+    ]
+    got, want = _replay_stream(spark, rows, n_files=5, queryname="cep_out_mb")
+    assert len(want) == 3
+    assert got == want
+
+
+def test_stream_within_bound_parity(spark):
+    rows = [
+        (1, 0, "a", 1), (1, 50_000, "b", 2), (1, 400_000, "c", 3),
+        (1, 500_000, "a", 4), (1, 520_000, "b", 5), (1, 540_000, "c", 6),
+    ]
+    got, want = _replay_stream(
+        spark, rows, n_files=3, within=100_000, queryname="cep_out_within"
+    )
+    assert want == [(1, 500_000, 540_000, 4, 5, 6)]
+    assert got == want
+
+
+def test_stream_disordered_rows_within_watermark(spark):
+    # rows arrive out of order inside a file; finalization sorts them
+    rows = [
+        (1, 2_000, "b", 2), (1, 1_000, "a", 1), (1, 3_000, "c", 3),
+        (1, 64_000, "b", 5), (1, 63_000, "a", 4), (1, 65_000, "c", 6),
+    ]
+    got, want = _replay_stream(
+        spark, rows, n_files=2, queryname="cep_out_ooo", sort_files=False
+    )
+    assert len(want) == 2
+    assert got == want
