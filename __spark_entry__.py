@@ -420,6 +420,20 @@ def q_ann_cosine_lsh(spark, sf_dir):
     return cosine_topk_lsh(emb, emb.where(F.col("vec_id") < 5), k=10, dim=EMB_DIM)
 
 
+def q_ann_cosine_ivf(spark, sf_dir):
+    """IVF-bucketed ANN (coarse quantizer + inverted lists): the scale
+    path named alongside LSH in the build brief. Deterministic corpus-head
+    centroids make the whole index DuckDB-reproducible; assignment is one
+    shuffle-free Arrow-batched matmul, candidates come from the
+    centroid-id equi-join."""
+    from scotty_window_processor_spark.plans.similarity import ann_cosine_ivf
+
+    emb = _emb(spark, sf_dir)
+    return ann_cosine_ivf(
+        emb, emb.where(F.col("vec_id") < 5), k=10, n_centroids=16, n_probe=2
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs: LSH candidate generation +
     exact cosine verify (same hyperplane family as ann_cosine_lsh, so the
@@ -733,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
+        "ann_cosine_ivf": q_ann_cosine_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_decode": q_multimodal_decode,
         "frame_sample": q_frame_sample,
@@ -1285,6 +1300,53 @@ FROM t
 """
 
 
+def _ann_ivf_sql(k: int = 10, n_centroids: int = 16, n_probe: int = 2) -> str:
+    """IVF replay: identical centroid set (corpus head), assignment
+    (round-6 cosine, ties to smallest cid) and probe selection as
+    plans.similarity.ann_cosine_ivf."""
+    cos = (
+        "round(list_inner_product({v}, cv)"
+        " / (sqrt(list_inner_product({v}, {v})) * sqrt(list_inner_product(cv, cv))), 6)"
+    )
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < {n_centroids}
+), corp AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cvec FROM embeddings
+), assign AS (
+  SELECT neighbor_id, cid,
+         row_number() OVER (PARTITION BY neighbor_id
+                            ORDER BY {cos.format(v='cvec')} DESC, cid) AS rn
+  FROM corp, cent
+), a1 AS (
+  SELECT neighbor_id, cid FROM assign WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5
+), probe AS (
+  SELECT query_id, cid,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {cos.format(v='qvec')} DESC, cid) AS rn
+  FROM q, cent
+), p1 AS (
+  SELECT query_id, cid FROM probe WHERE rn <= {n_probe}
+), scored AS (
+  SELECT p1.query_id, a1.neighbor_id,
+         round(list_inner_product(c.cvec, qq.qvec)
+               / (sqrt(list_inner_product(c.cvec, c.cvec))
+                  * sqrt(list_inner_product(qq.qvec, qq.qvec))), 6) AS cos
+  FROM p1 JOIN a1 USING (cid)
+       JOIN corp c ON c.neighbor_id = a1.neighbor_id
+       JOIN q qq ON qq.query_id = p1.query_id
+  WHERE a1.neighbor_id <> p1.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS "rank"
+  FROM scored
+)
+SELECT query_id, neighbor_id, "rank" FROM ranked WHERE "rank" <= {k}
+"""
+
+
 _CEP_FUNNEL = """
 WITH o AS (
   SELECT user_id, epoch_ms(ts) AS t0, event_type AS y0, event_id AS e0,
@@ -1329,6 +1391,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _FINGERPRINT,
         "ann_cosine_topk": _ANN_TOPK,
         "ann_cosine_lsh": _ann_lsh_sql(),
+        "ann_cosine_ivf": _ann_ivf_sql(),
         "embedding_near_dup": _near_dup_sql(),
         "multimodal_decode": _MULTIMODAL,
         "frame_sample": _FRAME_SAMPLE,

@@ -197,3 +197,104 @@ def embedding_near_dup(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def ann_cosine_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: the coarse-quantizer counterpart to the
+    LSH path. Corpus vectors are assigned to their nearest centroid; a
+    query scores only the lists of its ``n_probe`` nearest centroids.
+
+    Scale shape: assignment is ONE Arrow-batched pandas UDF per corpus
+    partition (numpy matmul against the broadcast centroid matrix — no
+    shuffle, no per-row Python); candidate generation is an equi-join on
+    the centroid id (the inverted list key — with many queries both sides
+    shuffle on it; a small query side broadcasts, which AQE picks
+    automatically). Exact rescoring + round-then-rank exactly as the
+    brute-force baseline, so IVF output ⊆ brute-force candidates with
+    identical scoring.
+
+    The default centroid set is the corpus head (``id < n_centroids``) —
+    deliberately deterministic so the ENTIRE index build is reproducible
+    in the DuckDB oracle. On a real cluster pass ``centroids=`` from a
+    kmeans||/sampled build; every plan shape downstream is unchanged.
+
+    ORACLE PARITY: centroid cosines accumulate sequentially over the dim
+    axis (left-fold order, see signed_projection_buckets) and are rounded
+    to 6 decimals before the argmax/top-probe selection with ties to the
+    SMALLEST centroid id — the same total order the oracle's
+    row_number() OVER (ORDER BY cos DESC, cid) induces."""
+    cent_df = (
+        centroids
+        if centroids is not None
+        else corpus.where(F.col(id_col) < n_centroids)
+    )
+    cent_rows = cent_df.select(
+        F.col(id_col).cast("long").alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).collect()  # tiny by construction (n_centroids rows)
+    cent_rows.sort(key=lambda r: r["cid"])
+    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    C = np.array([r["cv"] for r in cent_rows], dtype=np.float64).T.copy()  # dim × C
+    cnorm = np.sqrt((C * C).sum(axis=0))
+
+    def _cent_cos(vs: pd.Series) -> np.ndarray:
+        V = np.array(vs.tolist(), dtype=np.float64)  # n × dim
+        acc = np.zeros((V.shape[0], C.shape[1]), dtype=np.float64)
+        for d in range(V.shape[1]):  # sequential over dims: left-fold order
+            acc += V[:, d : d + 1] * C[d : d + 1, :]
+        vnorm = np.sqrt((V * V).sum(axis=1))
+        return np.round(acc / (vnorm[:, None] * cnorm[None, :]), 6)
+
+    @F.pandas_udf("long")
+    def assign_centroid(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="int64")
+        cos = _cent_cos(vs)
+        # cids ascend, np.argmax returns the FIRST max → smallest cid on ties
+        return pd.Series(cids[np.argmax(cos, axis=1)])
+
+    n_p = n_probe
+
+    @F.pandas_udf("array<long>")
+    def probe_centroids(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        cos = _cent_cos(vs)
+        # top n_probe by (cos desc, cid asc): lexsort keys last-is-primary
+        order = np.lexsort((np.broadcast_to(cids, cos.shape), -cos), axis=1)
+        return pd.Series(list(cids[order[:, :n_p]]))
+
+    corp = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).withColumn("cid", assign_centroid(F.col("cvec"))).withColumn("cnorm", _norm(F.col("cvec")))
+    qp = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qvec"),
+        )
+        .withColumn("cid", F.explode(probe_centroids(F.col("qvec"))))
+        .withColumn("qnorm", _norm(F.col("qvec")))
+    )
+    scored = (
+        corp.join(F.broadcast(qp), "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            F.round(_dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm")), 6),
+        )
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))),
+    )
+    return ranked.where(F.col("rank") <= k).select("query_id", "neighbor_id", "rank")
