@@ -472,7 +472,8 @@ _STREAM_SEQ = [0]
 
 
 def _replay_events_stream(spark, sf_dir, windows, aggs, select_cols,
-                          value="value", project=None, build=None):
+                          value="value", project=None, build=None,
+                          out_filter=None):
     """Write events (ts-sorted) as 6 parquet files + one far-future
     sentinel row, replay with maxFilesPerTrigger=1 through scotty_stream,
     block until drained, return the emitted windows as a batch DataFrame.
@@ -558,7 +559,12 @@ def _replay_events_stream(spark, sf_dir, windows, aggs, select_cols,
         )
         q.processAllAvailable()
         q.stop()
-        return spark.table(table).where(F.col("user_id") >= 0).select(*select_cols)
+        out = spark.table(table)
+        # drop the sentinel's own contribution: by key when the output is
+        # keyed, by a caller-supplied predicate otherwise (e.g. global
+        # windows exclude the sentinel's far-future bucket)
+        out = out_filter(out) if out_filter is not None else out.where(F.col("user_id") >= 0)
+        return out.select(*select_cols)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(src, ignore_errors=True)
@@ -662,6 +668,69 @@ def q_stream_payload_6h(spark, sf_dir):
     )
 
 
+def q_stream_interval_join(spark, sf_dir):
+    """Streaming STATEFUL JOIN gate (north_rule names it explicitly):
+    events replayed through the watermarked stream-stream interval join
+    (streaming/join.py error_followup_join — state expires at
+    O(rate × interval)), emitted pairs vs a plain SQL interval join."""
+    from scotty_window_processor_spark.streaming.join import error_followup_join
+
+    def build(stream):
+        j = error_followup_join(stream, window_seconds=3600, watermark_delay="30 seconds")
+        return j.select(
+            "user_id", "err_id",
+            F.unix_millis(F.col("pur_ts").cast("timestamp")).alias("pur_ts_ms"),
+            F.round("pur_value", 2).alias("pur_value"),
+        )
+
+    def project(events):
+        return events.select("user_id", "ts", "value", "event_id", "event_type")
+
+    return _replay_events_stream(
+        spark, sf_dir, windows=None, aggs=None,
+        select_cols=["user_id", "err_id", "pur_ts_ms", "pur_value"],
+        value=None, project=project, build=build,
+    )
+
+
+def q_stream_global_6h(spark, sf_dir):
+    """Streaming GLOBAL (non-keyed) operator gate: the whole stream
+    through one slicing kernel via a constant grouping key
+    (scotty_stream_global), tumbling 6h with count + exact-median custom
+    aggregate, vs the same oracle as the batch scotty_global_kernel gate.
+    The sentinel's far-future bucket is excluded by event-time bound."""
+    from scotty_window_processor_spark.functions import CountAggregation, QuantileAggregation
+    from scotty_window_processor_spark.operators import TumblingWindow, WindowMeasure
+    from scotty_window_processor_spark.streaming.processor import scotty_stream_global
+
+    real_max_ms = _events(spark, sf_dir).agg(
+        F.unix_millis(F.max("ts").cast("timestamp"))
+    ).collect()[0][0]
+
+    def build(stream):
+        return scotty_stream_global(
+            stream, ts="ts", value="value",
+            windows=[TumblingWindow(WindowMeasure.TIME, 6 * SIZE_H, window_id=1)],
+            aggs=[
+                ("n", "long", CountAggregation),
+                ("median_value", "double", QuantileAggregation),
+            ],
+            watermark_delay="30 seconds", lateness_ms=30_000,
+        )
+
+    return _replay_events_stream(
+        spark, sf_dir, windows=None, aggs=None,
+        select_cols=[
+            F.col("w_start"), F.col("w_end"), F.col("n"),
+            F.round("median_value", 2).alias("median_value"),
+        ],
+        value=None,
+        project=lambda ev: ev.select("user_id", "ts", "value", "event_id"),
+        build=build,
+        out_filter=lambda df: df.where(F.col("w_start") <= real_max_ms),
+    )
+
+
 _CEP_WITHIN_MS = 7 * 86_400_000  # events are sparse per user (median same-
 # user gap ≈ 7 h), so the funnel span bound is a week
 
@@ -757,6 +826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_payload_6h": q_stream_payload_6h,
         "cep_funnel": q_cep_funnel,
         "stream_cep_funnel": q_stream_cep_funnel,
+        "stream_interval_join": q_stream_interval_join,
+        "stream_global_6h": q_stream_global_6h,
     }
 
 
@@ -1300,6 +1371,16 @@ FROM t
 """
 
 
+_STREAM_JOIN_PAIRS = """
+SELECT e.user_id AS user_id, e.event_id AS err_id,
+       epoch_ms(p.ts) AS pur_ts_ms, round(p.value, 2) AS pur_value
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') e
+JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND p.ts > e.ts
+     AND p.ts <= e.ts + INTERVAL '1 hour'
+"""
+
+
 def _ann_ivf_sql(k: int = 10, n_centroids: int = 16, n_probe: int = 2) -> str:
     """IVF replay: identical centroid set (corpus head), assignment
     (round-6 cosine, ties to smallest cid) and probe selection as
@@ -1403,4 +1484,6 @@ def oracle_sql() -> dict[str, str]:
         "stream_payload_6h": _PAYLOAD_KERNEL,
         "cep_funnel": _CEP_FUNNEL,
         "stream_cep_funnel": _CEP_FUNNEL,
+        "stream_interval_join": _STREAM_JOIN_PAIRS,
+        "stream_global_6h": _GLOBAL_KERNEL,
     }
