@@ -177,3 +177,108 @@ def test_stream_disordered_rows_within_watermark(spark):
     )
     assert len(want) == 2
     assert got == want
+
+
+def test_batch_single_step_pattern(spark):
+    # L=1: every row satisfying the predicate is its own match
+    rows = [(1, 1000, "a", 1), (1, 2000, "b", 2), (2, 3000, "a", 3)]
+    got = sorted(
+        tuple(r)
+        for r in match_pattern(
+            _mk_events(spark, rows), key="user_id", ts="ts",
+            steps=[lambda c: c["event_type"] == "a"], step_cols=["event_type"],
+            tiebreak="event_id", capture=["event_id"],
+        ).collect()
+    )
+    assert got == [(1, 1000, 1000, 1), (2, 3000, 3000, 3)]
+
+
+def test_stream_checkpoint_restart_no_dupes_no_gaps(spark, tmp_path):
+    """Kill the CEP query mid-stream, restart from the checkpoint: total
+    emissions equal the batch result with no duplicates (tail state and
+    already-emitted bookkeeping survive the restart)."""
+    import os as _os
+
+    rows = [
+        (1, 1_000, "a", 1), (1, 61_000, "b", 2), (1, 121_000, "c", 3),
+        (1, 181_000, "a", 4), (1, 241_000, "b", 5), (1, 301_000, "c", 6),
+        (2, 31_000, "a", 10), (2, 91_000, "b", 11), (2, 151_000, "c", 12),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts_ms", "event_type", "event_id"])
+    pdf["ts"] = pd.to_datetime(pdf.pop("ts_ms"), unit="ms")
+    batch_df = spark.createDataFrame(pdf)
+    srt = pdf.sort_values("ts", kind="mergesort")
+    sent = srt.iloc[:1].copy()
+    sent["user_id"] = -1
+    sent["ts"] = srt["ts"].max() + pd.Timedelta(days=365)
+    chunk = (len(srt) + 3) // 4
+    chunks = [srt.iloc[i * chunk : (i + 1) * chunk] for i in range(4)] + [sent]
+    chunks = [c for c in chunks if len(c)]
+
+    src = str(tmp_path / "src"); _os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+
+    def deliver(i):
+        part = chunks[i]
+        tbl = pa.Table.from_pandas(part, preserve_index=False)
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("ts"), "ts",
+            tbl.column("ts").cast(pa.timestamp("us")),
+        )
+        tmp = f"{src}/._{i:04d}"
+        pq.write_table(tbl, tmp)
+        _os.utime(tmp, (1_700_000_000 + i, 1_700_000_000 + i))
+        _os.rename(tmp, f"{src}/{i:04d}.parquet")
+
+    steps_py = [
+        lambda d: d["event_type"].to_numpy() == "a",
+        lambda d: d["event_type"].to_numpy() == "b",
+        lambda d: d["event_type"].to_numpy() == "c",
+    ]
+
+    from scotty_window_processor_spark.streaming.sink import ExactlyOnceParquetSink
+
+    # the memory sink cannot recover from a checkpoint; the exactly-once
+    # parquet sink is the production path and survives the restart
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"))
+
+    def start():
+        stream = (
+            spark.readStream.schema(batch_df.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        result = cep_stream(
+            stream, key="user_id", ts="ts", steps=steps_py,
+            step_cols=["event_type"], tiebreak="event_id",
+            capture=["event_id"], watermark_delay="1 second",
+        )
+        return (
+            result.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt).outputMode("append").start()
+        )
+
+    for i in range(2):
+        deliver(i)
+    q = start()
+    q.processAllAvailable()
+    q.stop()  # crash after phase 1
+
+    for i in range(2, len(chunks)):
+        deliver(i)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    emitted = [tuple(r) for r in sink.read_committed(spark).collect()]
+    got = sorted(t for t in emitted if t[0] >= 0)
+    assert len(got) == len(set(got)), "duplicate emissions across restart"
+    want = sorted(
+        tuple(r)
+        for r in match_pattern(
+            batch_df, key="user_id", ts="ts", steps=FUNNEL,
+            step_cols=["event_type"], tiebreak="event_id", capture=["event_id"],
+        ).collect()
+    )
+    assert len(want) == 3
+    assert got == want
