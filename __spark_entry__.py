@@ -668,6 +668,45 @@ def q_stream_payload_6h(spark, sf_dir):
     )
 
 
+def q_stream_sliding_1h_15m(spark, sf_dir):
+    """Streaming replay gate: SLIDING windows (1h size, 15m slide) —
+    four overlapping instances share each slice in the streaming kernel —
+    vs the batch _SLIDING_1H_15M oracle."""
+    from scotty_window_processor_spark.functions import CountAggregation, SumAggregation
+    from scotty_window_processor_spark.operators import SlidingWindow, WindowMeasure
+
+    return _replay_events_stream(
+        spark, sf_dir,
+        windows=[SlidingWindow(WindowMeasure.TIME, SIZE_H, 900_000, window_id=2)],
+        aggs=[("n", "long", CountAggregation), ("sum_value", "double", SumAggregation)],
+        select_cols=[
+            F.col("user_id"), F.col("w_start"), F.col("w_end"), F.col("n"),
+            F.round("sum_value", 2).alias("sum_value"),
+        ],
+    )
+
+
+def q_stream_count_tumbling_25(spark, sf_dir):
+    """Streaming replay gate: COUNT-measure tumbling windows (size 25) —
+    per-key positional slice counters must survive micro-batch boundaries
+    in the pickled-kernel state tier; only full windows trigger (the
+    count edge), matching the oracle's HAVING count(*) = 25."""
+    from scotty_window_processor_spark.functions import SumAggregation
+    from scotty_window_processor_spark.operators import TumblingWindow, WindowMeasure
+
+    return _replay_events_stream(
+        spark, sf_dir,
+        windows=[TumblingWindow(WindowMeasure.COUNT, 25, window_id=4)],
+        aggs=[("sum_value", "double", SumAggregation)],
+        select_cols=[
+            F.col("user_id"),
+            F.col("w_start").alias("c_start"),
+            F.col("w_end").alias("c_end"),
+            F.round("sum_value", 2).alias("sum_value"),
+        ],
+    )
+
+
 def q_stream_interval_join(spark, sf_dir):
     """Streaming STATEFUL JOIN gate (north_rule names it explicitly):
     events replayed through the watermarked stream-stream interval join
@@ -828,6 +867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cep_funnel": q_stream_cep_funnel,
         "stream_interval_join": q_stream_interval_join,
         "stream_global_6h": q_stream_global_6h,
+        "stream_sliding_1h_15m": q_stream_sliding_1h_15m,
+        "stream_count_tumbling_25": q_stream_count_tumbling_25,
     }
 
 
@@ -967,7 +1008,10 @@ WITH r AS (
   SELECT user_id, value, (rn // 25 - j.j) AS k
   FROM r, (SELECT unnest(range(2)) AS j) j
   WHERE (rn // 25 - j.j) >= 0
-    AND (rn // 25 - j.j) * 25 + 50 <= total + 2
+    -- full windows only: a count window triggers once its end count has
+    -- arrived (kernel divergence fix #7 removed the reference's cend+1
+    -- horizon, which leaked one partial tail per residue-24 user)
+    AND (rn // 25 - j.j) * 25 + 50 <= total
 )
 SELECT user_id, k * 25 AS c_start, k * 25 + 50 AS c_end,
        count(*) AS n, round(sum(value), 2) AS sum_value
@@ -1486,4 +1530,6 @@ def oracle_sql() -> dict[str, str]:
         "stream_cep_funnel": _CEP_FUNNEL,
         "stream_interval_join": _STREAM_JOIN_PAIRS,
         "stream_global_6h": _GLOBAL_KERNEL,
+        "stream_sliding_1h_15m": _SLIDING_1H_15M,
+        "stream_count_tumbling_25": _COUNT_TUMBLING_25,
     }

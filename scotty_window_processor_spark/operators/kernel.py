@@ -45,7 +45,13 @@ tests/test_property_sharing.py + test_tumbling.py):
 6. slice eviction never crosses the oldest ACTIVE session start (the
    reference's clearAfterWatermark mixes a duration with an absolute
    timestamp: unbounded state at epoch timestamps, silent data loss at
-   small ones) — see _evict.
+   small ones) — see _evict;
+7. count windows trigger only when their end count has ARRIVED: the
+   reference's cend+1 count horizon (WindowManager.java:117-118, doubled
+   by the sliding trigger's own +1) emits a window missing its final
+   element whenever the finalized count ≡ size−1 (mod size) — see
+   _trigger_context_free; pinned in tests/test_tumbling.py::
+   test_count_phantom_window_not_emitted.
 """
 
 from __future__ import annotations
@@ -810,7 +816,24 @@ class SlicingWindowOperator:
                     if index == 0:
                         continue
                     s = self.store[index - 1]
-                w.trigger_windows(collector, self.last_count, s.c_last + 1)
+                # divergence fix #7: the reference passes cend + 1 as the
+                # count horizon (WindowManager.java:117-118), and its
+                # sliding trigger adds ANOTHER +1 (SlidingWindow.java
+                # triggerWindows's `<= currentWatermark + 1`). c_last is
+                # already the EXCLUSIVE element count, so the extra +1(+1)
+                # emits a window missing its final element whenever the
+                # finalized count ≡ size−1 (mod size) — e.g. 49 elements,
+                # count-25 tumbling → phantom [25,50) with 24 elements.
+                # No reference test hits that residue class. The horizon
+                # here is the true finalized count: a count window
+                # triggers only once its end count has actually arrived
+                # (pinned by tests/test_tumbling.py::
+                # test_count_phantom_window_not_emitted).
+                cend = s.c_last
+                if isinstance(w, SlidingWindow):
+                    w.trigger_windows(collector, self.last_count, cend - 1)
+                else:
+                    w.trigger_windows(collector, self.last_count, cend)
 
     def next_emission_ts(self) -> Optional[int]:
         """Earliest event time at which a watermark could trigger a new

@@ -125,8 +125,9 @@ def multikey_rows(key_codes, ts_ms, vals, windows, agg_fns_factory):
             idx_in_key = np.arange(len(key_codes)) - firsts
             totals = np.repeat(key_ends - key_starts, key_ends - key_starts)
             win = idx_in_key // n
-            # kernel flush semantics: windows with end <= total+1
-            keep = (win + 1) * n <= totals + 1
+            # kernel flush semantics (divergence fix #7): a count window
+            # triggers only once its end count has arrived — full windows
+            keep = (win + 1) * n <= totals
             kc, wi = key_codes[keep], win[keep]
             v = vals[keep]
             # rows already sorted by (key, position) => (key, win) sorted

@@ -134,9 +134,10 @@ def test_out_of_order(op):
 
 def test_count_sliding_in_order(op):
     """Count-measure sliding windows (size 4, slide 2): positional windows
-    over arrival order, kernel-derived semantics — the partial tail window
-    emits when start+size <= total+2 (SlidingWindow.trigger_windows uses
-    current_watermark + 1, translated to the count horizon c_last + 1)."""
+    over arrival order. A count window triggers only once its END count
+    has actually arrived (divergence fix #7: the reference's cend+1 count
+    horizon — doubled by the sliding trigger's further +1 — emitted the
+    partial tail [8,12) here with only 2 of 4 elements)."""
     op.add_window(SlidingWindow(WindowMeasure.COUNT, 4, 2))
     for i in range(10):
         op.process_element(i + 1, i * 10)
@@ -147,7 +148,6 @@ def test_count_sliding_in_order(op):
         (2, 6): 18,   # 3+4+5+6
         (4, 8): 26,
         (6, 10): 34,
-        (8, 12): 19,  # partial tail: 9+10
     }
 
 

@@ -170,3 +170,23 @@ def test_power_of_two_window_size_first_edge(op):
     r = [w for w in op.process_watermark(100) if w.has_value]
     got = {(w.start, w.end): w.agg_values()[0] for w in r}
     assert got == {(8, 16): 1, (16, 24): 2, (24, 32): 3}
+
+
+def test_count_phantom_window_not_emitted():
+    """Divergence fix #7: with total ≡ size−1 (mod size) the reference's
+    cend+1 count horizon (WindowManager.java:117-118) emits a window
+    missing its final element (49 elements, count-25 → phantom [25,50)
+    holding 24). A count window must trigger only when its end count has
+    arrived; the element completing it triggers it on the NEXT watermark."""
+    op = SlicingWindowOperator(max_lateness=30_000)
+    op.add_aggregation(PyReduce(lambda a, b: a + b))
+    op.add_window(TumblingWindow(WindowMeasure.COUNT, 25))
+    op.seed_watermark(999)
+    for i in range(49):
+        op.process_element(1, 1000 + i * 10)
+    got = {(w.start, w.end) for w in op.process_watermark(10**9) if w.has_value}
+    assert got == {(0, 25)}
+    # the 50th element completes [25,50)
+    op.process_element(1, 1000 + 49 * 10)
+    got |= {(w.start, w.end) for w in op.process_watermark(2 * 10**9) if w.has_value}
+    assert got == {(0, 25), (25, 50)}
