@@ -282,3 +282,50 @@ def test_stream_checkpoint_restart_no_dupes_no_gaps(spark, tmp_path):
     )
     assert len(want) == 3
     assert got == want
+
+
+def test_batch_randomized_vs_bruteforce(spark):
+    """Randomized differential: the lead()-family plan must equal a
+    pure-Python brute-force matcher (sort per key, scan every start) on
+    random streams across pattern lengths and span bounds."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(8):
+        L = rng.choice([1, 2, 3])
+        within = rng.choice([None, 3_000, 10_000])
+        n = rng.randint(5, 40)
+        rows = [
+            (rng.randint(1, 3), rng.randint(0, 20_000), rng.choice("abc"), i)
+            for i in range(n)
+        ]
+        steps_syms = [rng.choice("abc") for _ in range(L)]
+
+        # brute force: per key, order by (ts, event_id), scan every start
+        per_key = {}
+        for u, t, y, eid in rows:
+            per_key.setdefault(u, []).append((t, eid, y))
+        want = []
+        for u, seq in per_key.items():
+            seq.sort()
+            for i in range(len(seq) - L + 1):
+                if all(seq[i + j][2] == steps_syms[j] for j in range(L)):
+                    if within is None or seq[i + L - 1][0] - seq[i][0] <= within:
+                        want.append(
+                            (u, seq[i][0], seq[i + L - 1][0])
+                            + tuple(seq[i + j][1] for j in range(L))
+                        )
+        want.sort()
+
+        steps = [
+            (lambda sym: (lambda c: c["event_type"] == sym))(s) for s in steps_syms
+        ]
+        got = sorted(
+            tuple(r)
+            for r in match_pattern(
+                _mk_events(spark, rows), key="user_id", ts="ts", steps=steps,
+                step_cols=["event_type"], within_ms=within,
+                tiebreak="event_id", capture=["event_id"],
+            ).collect()
+        )
+        assert got == want, (trial, L, within, steps_syms)
