@@ -178,7 +178,10 @@ vectorized window assembly → count) on string-keyed conversation rows.
 
 Generated by scripts/run_scaling.py on {time.strftime('%Y-%m-%d %H:%M:%S')}.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # sidecar, NOT BENCH/BASELINE.md: that file is a curated, append-only
+    # record across rounds (this script clobbered it once — restored from
+    # git); merge the sidecar's numbers in by hand
+    with open(os.path.join(REPO, "BENCH", "scaling_last_run.md"), "w") as f:
         f.write(md)
     print(json.dumps({"low": low, "high": high, "efficiency": round(efficiency, 3),
                       "cpu_calibration": calib}))
