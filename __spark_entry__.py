@@ -194,6 +194,34 @@ def q_scotty_quantile_kernel(spark, sf_dir):
     return out.select("user_id", "w_start", "w_end", "n", F.round("median_value", 2).alias("median_value"))
 
 
+def q_scotty_histq_kernel(spark, sf_dir):
+    """BOUNDED-STATE histogram quantile (bin width 0.25) through the
+    slicing kernel — the O(range/width) partial that replaces the exact
+    O(distinct-values) quantile at 10^12-turn scale. Deterministic binning
+    (binary width ⇒ identical IEEE floor in Python/numpy/DuckDB) makes the
+    approximate answer exactly oracle-reproducible."""
+    _utc(spark)
+    from scotty_window_processor_spark.functions import (
+        CountAggregation,
+        HistogramQuantileAggregation,
+    )
+    from scotty_window_processor_spark.operators import TumblingWindow, WindowMeasure
+    from scotty_window_processor_spark.plans.scotty_batch import scotty_window_aggregate
+
+    out = scotty_window_aggregate(
+        _events(spark, sf_dir), key="user_id", ts="ts", value="value",
+        windows=[TumblingWindow(WindowMeasure.TIME, 6 * SIZE_H)],
+        aggs=[
+            ("n", "long", CountAggregation),
+            ("p50_bin", "double", HistogramQuantileAggregation),
+        ],
+        force_kernel=True,
+    )
+    return out.select(
+        "user_id", "w_start", "w_end", "n", F.round("p50_bin", 2).alias("p50_bin")
+    )
+
+
 def q_scotty_payload_kernel(spark, sf_dir):
     """The north-star transcript payload aggregates (tool-call tally +
     per-role ordered text rollup) through the slicing KERNEL tier
@@ -836,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scotty_multiwindow": q_scotty_multiwindow,
         "scotty_session_kernel": q_scotty_session_kernel,
         "scotty_quantile_kernel": q_scotty_quantile_kernel,
+        "scotty_histq_kernel": q_scotty_histq_kernel,
         "scotty_payload_kernel": q_scotty_payload_kernel,
         "scotty_global_kernel": q_scotty_global_kernel,
         "count_sliding_50_25": q_count_sliding_50_25,
@@ -988,6 +1017,26 @@ SELECT user_id, w_start, w_start + 21600000 AS w_end,
        string_agg(role || '=' || CAST(cnt AS VARCHAR), ',' ORDER BY role) AS tool_tally,
        string_agg(role || ':' || seq, '|' ORDER BY role) AS role_rollup
 FROM per_role GROUP BY user_id, w_start
+"""
+
+_HISTQ_KERNEL = """
+WITH b AS (
+  SELECT user_id,
+         epoch_ms(time_bucket(INTERVAL '6 hours', ts)) AS w_start,
+         CAST(floor(value / 0.25) AS BIGINT) AS bin
+  FROM events
+), c AS (
+  SELECT user_id, w_start, bin, count(*) AS cnt FROM b GROUP BY 1, 2, 3
+), t AS (
+  SELECT user_id, w_start, bin, cnt,
+         sum(cnt) OVER (PARTITION BY user_id, w_start ORDER BY bin) AS cume,
+         sum(cnt) OVER (PARTITION BY user_id, w_start) AS total
+  FROM c
+)
+SELECT user_id, w_start, w_start + 21600000 AS w_end,
+       CAST(max(total) AS BIGINT) AS n,
+       round(min(CASE WHEN cume >= CAST(ceil(0.5 * total) AS BIGINT) THEN bin END) * 0.25, 2) AS p50_bin
+FROM t GROUP BY user_id, w_start
 """
 
 _GLOBAL_KERNEL = """
@@ -1497,6 +1546,7 @@ def oracle_sql() -> dict[str, str]:
         "scotty_multiwindow": _MULTIWINDOW,
         "scotty_session_kernel": _SESSION_KERNEL,
         "scotty_quantile_kernel": _QUANTILE_KERNEL,
+        "scotty_histq_kernel": _HISTQ_KERNEL,
         "scotty_payload_kernel": _PAYLOAD_KERNEL,
         "scotty_global_kernel": _GLOBAL_KERNEL,
         "count_sliding_50_25": _COUNT_SLIDING_50_25,

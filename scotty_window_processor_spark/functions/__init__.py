@@ -213,6 +213,69 @@ class QuantileAggregation(AggregateFunction[float, dict, float]):
         return None
 
 
+class HistogramQuantileAggregation(AggregateFunction[float, dict, float]):
+    """BOUNDED-STATE approximate quantile: values bucket to fixed-width
+    bins; the partial is a bin→count dict whose size is capped by
+    value_range / width regardless of stream length — the 10^12-turn
+    replacement for the exact value→count histogram
+    (``QuantileAggregation``), whose partial grows with distinct values.
+
+    Deterministic by construction: no sampling and no merge-order
+    sensitivity (bin counts are commutative sums), so the answer is
+    bit-reproducible in SQL — lower() returns the LOWER EDGE of the
+    smallest bin whose cumulative count reaches ceil(q × total); the true
+    q-quantile lies in [answer, answer + width). Use a binary-friendly
+    ``width`` (0.25, 0.5, 1.0 …) so ``floor(v / width)`` is the same IEEE
+    operation in Python, numpy, and the SQL oracle."""
+
+    cloneable = True
+    invertible = True
+
+    def __init__(self, q: float = 0.5, width: float = 0.25):
+        self.q = q
+        self.width = width
+
+    def lift(self, element):
+        return {math.floor(element / self.width): 1}
+
+    def combine(self, a, b):
+        for v, c in b.items():
+            a[v] = a.get(v, 0) + c
+        return a
+
+    def invert(self, partial, to_remove):
+        for v, c in to_remove.items():
+            nc = partial.get(v, 0) - c
+            if nc <= 0:
+                partial.pop(v, None)
+            else:
+                partial[v] = nc
+        return partial
+
+    def clone(self, partial):
+        return dict(partial)
+
+    def bulk_lift_values(self, varr, s, e):
+        import numpy as np
+
+        bins, cnts = np.unique(
+            np.floor(varr[s:e] / self.width).astype("int64"), return_counts=True
+        )
+        return dict(zip(bins.tolist(), cnts.tolist()))
+
+    def lower(self, partial):
+        total = sum(partial.values())
+        if total == 0:
+            return None
+        target = max(1, math.ceil(self.q * total))
+        seen = 0
+        for b in sorted(partial):
+            seen += partial[b]
+            if seen >= target:
+                return b * self.width
+        return None
+
+
 class ToolTallyAggregation(AggregateFunction[Any, dict, dict]):
     """Per-window tally of tool-call turns, keyed by tool name.
 

@@ -108,3 +108,32 @@ def test_string_canonical_payload_aggregates():
     assert tally == "exec=1,search=1"
     # roles sorted; texts in turn_idx order regardless of arrival order
     assert rollup == "assistant:hello|tool:result-a;result-b|user:hi"
+
+
+def test_histogram_quantile_bounded_state():
+    """HistogramQuantileAggregation: bin-width binning bounds the partial
+    size by range/width (not distinct values); the lowered answer is the
+    lower edge of the quantile bin, within width of the exact median, and
+    invert/bulk paths agree with per-element lifts."""
+    import numpy as np
+
+    from scotty_window_processor_spark.functions import HistogramQuantileAggregation
+
+    f = HistogramQuantileAggregation(q=0.5, width=0.25)
+    vals = [0.1, 0.2, 0.3, 1.7, 1.8, 2.9, 3.05]  # median 1.7
+    p = {}
+    for v in vals:
+        p = f.combine(p, f.lift(v))
+    # 7 distinct values but only 6 occupied bins (0.1/0.2 share bin 0)
+    assert len(p) == 6 and sum(p.values()) == 7
+    ans = f.lower(p)
+    assert ans == 1.5  # lower edge of bin containing 1.7
+    assert 0 <= 1.7 - ans < 0.25
+    # bulk path builds the identical partial
+    assert f.bulk_lift_values(np.array(vals), 0, len(vals)) == p
+    # invertibility: remove a prefix, equals rebuilding from the suffix
+    removed = f.invert(f.clone(p), f.bulk_lift_values(np.array(vals), 0, 3))
+    rebuilt = f.bulk_lift_values(np.array(vals), 3, len(vals))
+    assert removed == rebuilt
+    # empty window
+    assert f.lower({}) is None
