@@ -81,40 +81,91 @@ def transcripts_throughput(spark, n_convs: int = 2000, turns_per_conv: int = 200
     return dt, n_turns, n_windows
 
 
-def concurrent_windows_tiers(spark, n_windows: int = 16):
-    """Reference benchmark shape (random_tumbling_benchmark.json: 1-1000
-    concurrent windows): N tumbling windows over events, timed through
-    (a) the shared-shuffle vectorized tier (the cost-based default past 3
-    families) and (b) the Catalyst tier forced per-family (one unioned
-    groupBy(F.window) subplan each). Returns (tier2_sec, tier1_sec)."""
+def time_shared_vs_buckets(spark, df, windows, force_slicing=False, verify=False):
+    """Shared methodology for the concurrent-windows comparison (used by
+    the bench line below AND scripts/run_window_sweep.py — one
+    implementation so the two can't drift): time the same aggregation
+    through (a) the engine (optionally forcing the shared-slice tier past
+    the cost-based chooser) and (b) one Catalyst groupBy(F.window)
+    subplan per window, unioned (bucket-per-window).
+
+    With verify=True the two results are compared by row count AND an
+    order-insensitive distributed content digest (sum of xxhash64 over
+    every column, rounded floats) — no driver-side collect.
+    Returns (shared_sec, buckets_sec, n_windows_emitted)."""
+    from pyspark.sql import functions as F
+
     from scotty_window_processor_spark.functions import CountAggregation, SumAggregation
-    from scotty_window_processor_spark.operators import TumblingWindow, WindowMeasure
     from scotty_window_processor_spark.plans.scotty_batch import scotty_window_aggregate
 
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    windows = [
-        TumblingWindow(WindowMeasure.TIME, (i + 1) * 900_000, window_id=i)
-        for i in range(n_windows)
-    ]
     aggs = [("n", "long", CountAggregation), ("sum_value", "double", SumAggregation)]
 
-    t0 = time.time()
-    scotty_window_aggregate(ev, key="user_id", ts="ts", value="value",
-                            windows=windows, aggs=aggs).count()
-    tier2 = time.time() - t0
+    def digest(out):
+        d = out.select(
+            F.xxhash64("user_id", "window_id", "w_start", "w_end", "n",
+                       F.round("sum_value", 4)).alias("h")
+        )
+        # sum in unbounded precision: 25M 64-bit hashes overflow BIGINT
+        # under ANSI mode
+        row = d.agg(
+            F.count("h").alias("n"),
+            F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        return row["n"], row["s"]
 
     t0 = time.time()
+    shared_df = scotty_window_aggregate(
+        df, key="user_id", ts="ts", value="value", windows=windows, aggs=aggs,
+        prefer_catalyst=not force_slicing,
+    )
+    shared_build = time.time() - t0
+    t0 = time.time()
+    n_shared = shared_df.count()
+    shared_sec = time.time() - t0
+
+    # the bucket arm's W-subplan construction + union is driver-side work
+    # a bucket-per-window user pays per query — timed separately so the
+    # report can show execution and planning costs without conflating them
+    t0 = time.time()
     parts = [
-        scotty_window_aggregate(ev, key="user_id", ts="ts", value="value",
+        scotty_window_aggregate(df, key="user_id", ts="ts", value="value",
                                 windows=[w], aggs=aggs)
         for w in windows
     ]
     union = parts[0]
     for p in parts[1:]:
         union = union.unionAll(p)
-    union.count()
-    tier1 = time.time() - t0
-    return tier2, tier1
+    buckets_build = time.time() - t0
+    t0 = time.time()
+    n_union = union.count()
+    buckets_sec = time.time() - t0
+
+    if verify:
+        assert digest(shared_df) == digest(union), "tier outputs differ"
+    else:
+        assert n_shared == n_union, (n_shared, n_union)
+    return {
+        "shared_sec": shared_sec, "buckets_sec": buckets_sec,
+        "shared_build_sec": shared_build, "buckets_build_sec": buckets_build,
+        "windows_emitted": n_shared,
+    }
+
+
+def concurrent_windows_tiers(spark, n_windows: int = 16):
+    """Reference benchmark shape (random_tumbling_benchmark.json: 1-1000
+    concurrent windows): N tumbling windows over events, timed through
+    (a) the shared-shuffle vectorized tier (the cost-based default past 3
+    families) and (b) the Catalyst tier forced per-family (one unioned
+    groupBy(F.window) subplan each). Returns (tier2_sec, tier1_sec)."""
+    from scotty_window_processor_spark.operators import TumblingWindow, WindowMeasure
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    windows = [
+        TumblingWindow(WindowMeasure.TIME, (i + 1) * 900_000, window_id=i)
+        for i in range(n_windows)
+    ]
+    r = time_shared_vs_buckets(spark, ev, windows)
+    return r["shared_sec"], r["buckets_sec"]
 
 
 def streaming_probe(spark, n_convs: int = 300, turns_per_conv: int = 100, n_files: int = 12):
