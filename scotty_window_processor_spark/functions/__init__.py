@@ -213,12 +213,13 @@ class QuantileAggregation(AggregateFunction[float, dict, float]):
         return None
 
 
-class HistogramQuantileAggregation(AggregateFunction[float, dict, float]):
+class HistogramQuantileAggregation(QuantileAggregation):
     """BOUNDED-STATE approximate quantile: values bucket to fixed-width
     bins; the partial is a bin→count dict whose size is capped by
     value_range / width regardless of stream length — the 10^12-turn
     replacement for the exact value→count histogram
-    (``QuantileAggregation``), whose partial grows with distinct values.
+    (``QuantileAggregation``, whose combine/invert/clone and cume-dist
+    walk this subclass reuses; only the key space changes).
 
     Deterministic by construction: no sampling and no merge-order
     sensitivity (bin counts are commutative sums), so the answer is
@@ -228,32 +229,12 @@ class HistogramQuantileAggregation(AggregateFunction[float, dict, float]):
     ``width`` (0.25, 0.5, 1.0 …) so ``floor(v / width)`` is the same IEEE
     operation in Python, numpy, and the SQL oracle."""
 
-    cloneable = True
-    invertible = True
-
     def __init__(self, q: float = 0.5, width: float = 0.25):
-        self.q = q
+        super().__init__(q)
         self.width = width
 
     def lift(self, element):
         return {math.floor(element / self.width): 1}
-
-    def combine(self, a, b):
-        for v, c in b.items():
-            a[v] = a.get(v, 0) + c
-        return a
-
-    def invert(self, partial, to_remove):
-        for v, c in to_remove.items():
-            nc = partial.get(v, 0) - c
-            if nc <= 0:
-                partial.pop(v, None)
-            else:
-                partial[v] = nc
-        return partial
-
-    def clone(self, partial):
-        return dict(partial)
 
     def bulk_lift_values(self, varr, s, e):
         import numpy as np
@@ -264,16 +245,8 @@ class HistogramQuantileAggregation(AggregateFunction[float, dict, float]):
         return dict(zip(bins.tolist(), cnts.tolist()))
 
     def lower(self, partial):
-        total = sum(partial.values())
-        if total == 0:
-            return None
-        target = max(1, math.ceil(self.q * total))
-        seen = 0
-        for b in sorted(partial):
-            seen += partial[b]
-            if seen >= target:
-                return b * self.width
-        return None
+        b = super().lower(partial)  # smallest bin with cume ≥ target
+        return None if b is None else b * self.width
 
 
 class ToolTallyAggregation(AggregateFunction[Any, dict, dict]):

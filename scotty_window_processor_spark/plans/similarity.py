@@ -32,6 +32,25 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+def _cos6(a, b, na, nb):
+    """Cosine rounded to 6 decimals BEFORE ranking/thresholding — the
+    oracle-parity rule (robust to last-ulp summation noise). One
+    definition shared by the brute-force baseline and every ANN path, so
+    the tie-break/precision contract cannot drift between them."""
+    return F.round(_dot(a, b) / (na * nb), 6)
+
+
+def _rank_topk(scored, k):
+    """Deterministic top-k per query: cos desc, neighbor_id tie-break."""
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+        ),
+    )
+    return ranked.where(F.col("rank") <= k).select("query_id", "neighbor_id", "rank")
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -60,14 +79,10 @@ def cosine_topk_bruteforce(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cos",
-            F.round(_dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm")), 6),
+            _cos6(F.col("cvec"), F.col("qvec"), F.col("cnorm"), F.col("qnorm")),
         )
     )
-    ranked = scored.withColumn(
-        "rank",
-        F.row_number().over(W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))),
-    )
-    return ranked.where(F.col("rank") <= k).select("query_id", "neighbor_id", "rank")
+    return _rank_topk(scored, k)
 
 
 def _hyperplane(dim: int, plane: int, seed: int = 7) -> list:
@@ -159,16 +174,10 @@ def cosine_topk_lsh(
         .join(F.broadcast(q), "query_id")
         .withColumn(
             "cos",
-            F.round(
-                _dot(F.col("cvec"), F.col("qvec")) / (_norm(F.col("cvec")) * _norm(F.col("qvec"))), 6
-            ),
+            _cos6(F.col("cvec"), F.col("qvec"), _norm(F.col("cvec")), _norm(F.col("qvec"))),
         )
     )
-    ranked = scored.withColumn(
-        "rank",
-        F.row_number().over(W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))),
-    )
-    return ranked.where(F.col("rank") <= k).select("query_id", "neighbor_id", "rank")
+    return _rank_topk(scored, k)
 
 
 def embedding_near_dup(
@@ -187,12 +196,10 @@ def embedding_near_dup(
     return (
         cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
         .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
-        # round BEFORE thresholding (like the top-k rankers) so the output
-        # set is stable to last-ulp noise and matches the oracle at the
-        # threshold boundary
+        # round BEFORE thresholding (same _cos6 rule as the top-k rankers)
         .withColumn(
             "cos",
-            F.round(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6),
+            _cos6(F.col("va"), F.col("vb"), _norm(F.col("va")), _norm(F.col("vb"))),
         )
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
@@ -241,6 +248,15 @@ def ann_cosine_ivf(
         F.col(id_col).cast("long").alias("cid"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     ).collect()  # tiny by construction (n_centroids rows)
+    if not cent_rows:
+        # fail here with a clear message instead of an IndexError deep in
+        # the assignment UDF: the id-prefix default only works for dense
+        # integer ids starting near 0
+        raise ValueError(
+            "ann_cosine_ivf: centroid set is empty — the default selection "
+            f"({id_col} < {n_centroids}) matched no rows; pass centroids= "
+            "explicitly for non-integer or offset id spaces"
+        )
     cent_rows.sort(key=lambda r: r["cid"])
     cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
     C = np.array([r["cv"] for r in cent_rows], dtype=np.float64).T.copy()  # dim × C
@@ -290,11 +306,7 @@ def ann_cosine_ivf(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cos",
-            F.round(_dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm")), 6),
+            _cos6(F.col("cvec"), F.col("qvec"), F.col("cnorm"), F.col("qnorm")),
         )
     )
-    ranked = scored.withColumn(
-        "rank",
-        F.row_number().over(W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))),
-    )
-    return ranked.where(F.col("rank") <= k).select("query_id", "neighbor_id", "rank")
+    return _rank_topk(scored, k)

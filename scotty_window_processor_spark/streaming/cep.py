@@ -11,8 +11,11 @@ watermark, the same horizon the slicing operator keeps) plus a tail of at
 most ``L-1`` finalized rows so matches can span finalization boundaries.
 With ``within_ms`` set, tail rows older than ``watermark - within_ms``
 are pruned — any future match through them would violate the span bound
-anyway — so the tail shrinks to empty on idle keys and the state is
-removed outright once both buffers drain.
+anyway — an event-time timer fires once the bound expires the whole
+tail, so idle keys drain to empty and their state entry is removed.
+Without ``within_ms`` a tail row stays matchable forever (contiguity has
+no time bound), so the state floor is the bounded L−1-row tail per
+ever-seen key.
 """
 
 from __future__ import annotations
@@ -75,8 +78,12 @@ def make_cep_handler(
                 continue
             part = pdf[list(dict.fromkeys(keep + [ts_col]))].copy()
             part["_ts_ms"] = (
-                part.pop(ts_col).to_numpy().astype("datetime64[ms]").astype("int64")
+                part[ts_col].to_numpy().astype("datetime64[ms]").astype("int64")
             )
+            if ts_col not in keep:
+                # ts stays available when a predicate or capture names it
+                # (batch parity: match_pattern always exposes ts)
+                part = part.drop(columns=[ts_col])
             new_parts.append(part)
         if new_parts:
             buf = pd.concat(([buf] if buf is not None else []) + new_parts, ignore_index=True)
@@ -113,8 +120,10 @@ def make_cep_handler(
                                 r.append(seq[c].iloc[i + j])
                         rows.append(r)
                 tail = seq.iloc[max(0, n - (L - 1)) :].reset_index(drop=True)
-            if tail is not None and within_ms is not None and len(tail):
-                tail = tail[tail["_ts_ms"].to_numpy() >= wm - within_ms].reset_index(drop=True)
+        if wm > 0 and tail is not None and within_ms is not None and len(tail):
+            # outside the buf block: a timer-fired wake (empty buf) must
+            # still prune, or tail-only state would re-arm forever
+            tail = tail[tail["_ts_ms"].to_numpy() >= wm - within_ms].reset_index(drop=True)
 
         has_buf = buf is not None and len(buf) > 0
         has_tail = tail is not None and len(tail) > 0
@@ -127,6 +136,19 @@ def make_cep_handler(
                 # wake when the watermark next advances so buffered rows
                 # finalize even if this key sees no further data
                 state.setTimeoutTimestamp(max(int(buf["_ts_ms"].min()), wm + 1))
+            elif within_ms is not None:
+                # tail-only state with a span bound: wake once the bound
+                # expires every tail row, so the prune above drains the
+                # tail and the NEXT invocation removes the state —
+                # without this, an idle key's tail entry would live
+                # forever (the processor handler sets a timeout whenever
+                # state is kept, streaming/processor.py, for the same
+                # reason). Without within_ms the tail is semantically
+                # live indefinitely (contiguity has no time bound) and
+                # stays as bounded O(L-1)-row state.
+                state.setTimeoutTimestamp(
+                    max(int(tail["_ts_ms"].max()) + within_ms + 1, wm + 1)
+                )
 
         if rows:
             yield pd.DataFrame(rows, columns=list(out_fields))

@@ -329,3 +329,47 @@ def test_batch_randomized_vs_bruteforce(spark):
             ).collect()
         )
         assert got == want, (trial, L, within, steps_syms)
+
+
+def test_stream_capture_ts_column(spark, tmp_path):
+    """The event-time column itself can be captured (batch parity: the
+    batch operator always exposes ts to predicates and capture)."""
+    import os as _os
+
+    rows = [(1, 1_000, "a", 1), (1, 2_000, "b", 2), (1, 3_000, "c", 3)]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts_ms", "event_type", "event_id"])
+    pdf["ts"] = pd.to_datetime(pdf.pop("ts_ms"), unit="ms")
+    sent = pdf.iloc[:1].copy()
+    sent["user_id"] = -1
+    sent["ts"] = pdf["ts"].max() + pd.Timedelta(days=1)
+    src = str(tmp_path / "src"); _os.makedirs(src)
+    for i, part in enumerate([pdf, sent]):
+        tbl = pa.Table.from_pandas(part, preserve_index=False)
+        tbl = tbl.set_column(tbl.schema.get_field_index("ts"), "ts",
+                             tbl.column("ts").cast(pa.timestamp("us")))
+        pq.write_table(tbl, f"{src}/{i:04d}.parquet")
+        _os.utime(f"{src}/{i:04d}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(pdf).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    result = cep_stream(
+        stream, key="user_id", ts="ts",
+        steps=[lambda d: d["event_type"].to_numpy() == "a",
+               lambda d: d["event_type"].to_numpy() == "b"],
+        step_cols=["event_type"], tiebreak="event_id",
+        capture=["ts", "event_id"], watermark_delay="1 second",
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = (result.writeStream.format("memory").queryName("cep_ts_cap")
+         .option("checkpointLocation", ckpt).outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    out = spark.table("cep_ts_cap").where(F.col("user_id") >= 0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["w_start"] == 1_000 and r["w_end"] == 2_000
+    assert r["s0_event_id"] == 1 and r["s1_event_id"] == 2
+    assert r["s0_ts"] is not None and r["s1_ts"] is not None
