@@ -373,3 +373,56 @@ def test_stream_capture_ts_column(spark, tmp_path):
     assert r["w_start"] == 1_000 and r["w_end"] == 2_000
     assert r["s0_event_id"] == 1 and r["s1_event_id"] == 2
     assert r["s0_ts"] is not None and r["s1_ts"] is not None
+
+
+def test_stream_tail_state_expires_with_span_bound(spark, tmp_path):
+    """With within_ms set, an idle key's tail state must drain and be
+    REMOVED once the span bound expires it (timer-fired wake, no new data
+    for the key) — asserted via the state store's numRowsTotal metric."""
+    import os as _os
+
+    rows = [(1, 1_000, "a", 1), (1, 2_000, "b", 2), (1, 3_000, "c", 3),
+            (2, 1_500, "a", 4), (2, 2_500, "b", 5), (2, 3_500, "c", 6)]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts_ms", "event_type", "event_id"])
+    pdf["ts"] = pd.to_datetime(pdf.pop("ts_ms"), unit="ms")
+    # two sentinel files: the first advances the watermark far past every
+    # span bound; the second triggers the micro-batch in which the
+    # timer-fired wakes actually run (timers fire in the batch AFTER the
+    # watermark update, and the file source only runs batches for files)
+    s1 = pdf.iloc[:1].copy(); s1["user_id"] = -1
+    s1["ts"] = pdf["ts"].max() + pd.Timedelta(days=1)
+    s2 = s1.copy(); s2["ts"] = s1["ts"] + pd.Timedelta(days=1)
+    src = str(tmp_path / "src"); _os.makedirs(src)
+    for i, part in enumerate([pdf, s1, s2]):
+        tbl = pa.Table.from_pandas(part, preserve_index=False)
+        tbl = tbl.set_column(tbl.schema.get_field_index("ts"), "ts",
+                             tbl.column("ts").cast(pa.timestamp("us")))
+        pq.write_table(tbl, f"{src}/{i:04d}.parquet")
+        _os.utime(f"{src}/{i:04d}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(pdf).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    steps_py = [
+        lambda d: d["event_type"].to_numpy() == "a",
+        lambda d: d["event_type"].to_numpy() == "b",
+        lambda d: d["event_type"].to_numpy() == "c",
+    ]
+    result = cep_stream(
+        stream, key="user_id", ts="ts", steps=steps_py, step_cols=["event_type"],
+        within_ms=10_000, tiebreak="event_id", capture=["event_id"],
+        watermark_delay="1 second",
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = (result.writeStream.format("memory").queryName("cep_expiry")
+         .option("checkpointLocation", ckpt).outputMode("append").start())
+    q.processAllAvailable()
+    state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    q.stop()
+    # both real keys matched (emitted) and their tails expired; at most
+    # the final sentinel key's own entry may remain
+    got = [tuple(r) for r in spark.table("cep_expiry").where(F.col("user_id") >= 0).collect()]
+    assert len(got) == 2
+    assert state_rows <= 1, f"idle-key tail state not expired: {state_rows} rows"
