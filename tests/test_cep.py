@@ -426,3 +426,24 @@ def test_stream_tail_state_expires_with_span_bound(spark, tmp_path):
     got = [tuple(r) for r in spark.table("cep_expiry").where(F.col("user_id") >= 0).collect()]
     assert len(got) == 2
     assert state_rows <= 1, f"idle-key tail state not expired: {state_rows} rows"
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37])
+def test_stream_randomized_parity(spark, seed):
+    """Randomized stream-vs-batch parity across file splits: random event
+    streams (with ts collisions broken by event_id) replayed through the
+    streaming matcher must emit exactly the batch match set."""
+    import random
+
+    rng = random.Random(seed)
+    n = rng.randint(20, 60)
+    rows = [
+        (rng.randint(1, 4), rng.randint(0, 300) * 1_000, rng.choice("abc"), i)
+        for i in range(n)
+    ]
+    got, want = _replay_stream(
+        spark, rows, n_files=rng.randint(2, 6),
+        within=rng.choice([None, 60_000]),
+        queryname=f"cep_rand_{seed}",
+    )
+    assert got == want
