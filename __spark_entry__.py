@@ -222,6 +222,36 @@ def q_scotty_histq_kernel(spark, sf_dir):
     )
 
 
+def q_scotty_distinct_kernel(spark, sf_dir):
+    """BOUNDED-STATE approximate distinct count (linear counting over the
+    portable md5-60 hash) through the kernel's record path: occupied-
+    position sets merge by union across slices, estimate −m·ln((m−occ)/m)
+    — exactly reproducible in SQL from count(DISTINCT md5_60(props) % m).
+    The O(m)-bit partial replaces O(distinct) exact state at 10^12-turn
+    scale."""
+    _utc(spark)
+    from scotty_window_processor_spark.functions import (
+        CountAggregation,
+        LinearCountingAggregation,
+    )
+    from scotty_window_processor_spark.operators import TumblingWindow, WindowMeasure
+    from scotty_window_processor_spark.plans.scotty_batch import scotty_window_aggregate
+
+    e = _events(spark, sf_dir).select("user_id", "ts", "props")
+    out = scotty_window_aggregate(
+        e, key="user_id", ts="ts", value=None,
+        windows=[TumblingWindow(WindowMeasure.TIME, 6 * SIZE_H)],
+        aggs=[
+            ("n", "long", CountAggregation),
+            ("distinct_est", "double", LinearCountingAggregation),
+        ],
+        force_kernel=True,
+    )
+    return out.select(
+        "user_id", "w_start", "w_end", "n", F.round("distinct_est", 2).alias("distinct_est")
+    )
+
+
 def q_scotty_payload_kernel(spark, sf_dir):
     """The north-star transcript payload aggregates (tool-call tally +
     per-role ordered text rollup) through the slicing KERNEL tier
@@ -865,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scotty_session_kernel": q_scotty_session_kernel,
         "scotty_quantile_kernel": q_scotty_quantile_kernel,
         "scotty_histq_kernel": q_scotty_histq_kernel,
+        "scotty_distinct_kernel": q_scotty_distinct_kernel,
         "scotty_payload_kernel": q_scotty_payload_kernel,
         "scotty_global_kernel": q_scotty_global_kernel,
         "count_sliding_50_25": q_count_sliding_50_25,
@@ -1037,6 +1068,23 @@ SELECT user_id, w_start, w_start + 21600000 AS w_end,
        CAST(max(total) AS BIGINT) AS n,
        round(min(CASE WHEN cume >= CAST(ceil(0.5 * total) AS BIGINT) THEN bin END) * 0.25, 2) AS p50_bin
 FROM t GROUP BY user_id, w_start
+"""
+
+_DISTINCT_KERNEL = """
+WITH p AS (
+  SELECT user_id,
+         epoch_ms(time_bucket(INTERVAL '6 hours', ts)) AS w_start,
+         (('0x' || left(md5(props), 15))::BIGINT) % 1024 AS pos
+  FROM events
+), g AS (
+  SELECT user_id, w_start,
+         CAST(count(*) AS BIGINT) AS n,
+         count(DISTINCT pos) AS occ
+  FROM p GROUP BY 1, 2
+)
+SELECT user_id, w_start, w_start + 21600000 AS w_end, n,
+       round(-1024 * ln((1024 - occ) / 1024.0), 2) AS distinct_est
+FROM g
 """
 
 _GLOBAL_KERNEL = """
@@ -1547,6 +1595,7 @@ def oracle_sql() -> dict[str, str]:
         "scotty_session_kernel": _SESSION_KERNEL,
         "scotty_quantile_kernel": _QUANTILE_KERNEL,
         "scotty_histq_kernel": _HISTQ_KERNEL,
+        "scotty_distinct_kernel": _DISTINCT_KERNEL,
         "scotty_payload_kernel": _PAYLOAD_KERNEL,
         "scotty_global_kernel": _GLOBAL_KERNEL,
         "count_sliding_50_25": _COUNT_SLIDING_50_25,

@@ -249,6 +249,57 @@ class HistogramQuantileAggregation(QuantileAggregation):
         return None if b is None else b * self.width
 
 
+class LinearCountingAggregation(AggregateFunction[Any, set, float]):
+    """BOUNDED-STATE approximate distinct count (linear counting): each
+    element hashes to one of ``m`` positions via the portable md5-60
+    family; the partial is the set of occupied positions (≤ m entries
+    regardless of stream length — exact distinct-count state is
+    O(distinct values)). Merge = set union (commutative, idempotent), so
+    the sketch is order-insensitive and deterministic: the estimate
+    −m·ln((m−occupied)/m) is bit-reproducible in SQL from
+    count(DISTINCT md5_60(x) % m). Not invertible (union loses
+    multiplicity); the kernel recomputes on out-of-order removal like the
+    reference's non-invertible path.
+
+    Record-mode aggregate: reads ``col`` from each element dict."""
+
+    cloneable = True
+    invertible = False
+
+    def __init__(self, col: str = "props", m: int = 1024):
+        self.col = col
+        self.m = m
+
+    def _pos(self, v) -> int:
+        import hashlib
+
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        return h % self.m
+
+    def lift(self, element):
+        v = element.get(self.col) if isinstance(element, dict) else element
+        return {self._pos(v)} if v is not None else set()
+
+    def combine(self, a, b):
+        a |= b
+        return a
+
+    def clone(self, partial):
+        return set(partial)
+
+    def bulk_lift_records(self, cols, s, e):
+        seen = {v for v in cols[self.col][s:e] if v is not None}
+        return {self._pos(v) for v in seen}
+
+    def lower(self, partial):
+        occ = len(partial)
+        if occ == 0:
+            return None
+        if occ >= self.m:
+            return float(self.m)  # sketch saturated; m is the floor bound
+        return -self.m * math.log((self.m - occ) / self.m)
+
+
 class ToolTallyAggregation(AggregateFunction[Any, dict, dict]):
     """Per-window tally of tool-call turns, keyed by tool name.
 

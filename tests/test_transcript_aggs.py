@@ -137,3 +137,35 @@ def test_histogram_quantile_bounded_state():
     assert removed == rebuilt
     # empty window
     assert f.lower({}) is None
+
+
+def test_linear_counting_bounded_state():
+    """LinearCountingAggregation: union-mergeable occupied-position set,
+    bounded by m; estimate within the linear-counting error of the true
+    cardinality; saturation floors at m; portable-hash positions match
+    the SQL formula count(DISTINCT md5_60 % m)."""
+    import hashlib
+    import math as _math
+
+    from scotty_window_processor_spark.functions import LinearCountingAggregation
+
+    f = LinearCountingAggregation(col="v", m=1024)
+    vals = [f"k{i}" for i in range(80)] * 3  # duplicates must not inflate
+    p = set()
+    for v in vals:
+        p = f.combine(p, f.lift({"v": v}))
+    assert len(p) <= 80
+    est = f.lower(p)
+    assert abs(est - 80) < 6  # linear counting error at 80/1024 occupancy
+    # merge-order insensitivity: two halves merged equals one pass
+    h1, h2 = set(), set()
+    for v in vals[:120]:
+        h1 = f.combine(h1, f.lift({"v": v}))
+    for v in vals[120:]:
+        h2 = f.combine(h2, f.lift({"v": v}))
+    assert f.combine(f.clone(h1), h2) == p
+    # positions follow the portable md5-60 convention
+    pos = int(hashlib.md5(b"k0").hexdigest()[:15], 16) % 1024
+    assert pos in p
+    assert f.lower(set()) is None
+    assert f.lower(set(range(1024))) == 1024.0
