@@ -828,6 +828,34 @@ def q_stream_global_6h(spark, sf_dir):
     )
 
 
+def q_stream_distinct_6h(spark, sf_dir):
+    """Streaming replay of the linear-counting distinct sketch — a
+    NON-INVERTIBLE custom aggregate in record mode, so the streaming
+    kernel's slice record buffers (needed for out-of-order recompute)
+    must survive micro-batch state round-trips. Same oracle as the batch
+    scotty_distinct_kernel gate."""
+    from scotty_window_processor_spark.functions import (
+        CountAggregation,
+        LinearCountingAggregation,
+    )
+    from scotty_window_processor_spark.operators import TumblingWindow, WindowMeasure
+
+    return _replay_events_stream(
+        spark, sf_dir,
+        windows=[TumblingWindow(WindowMeasure.TIME, 6 * SIZE_H, window_id=1)],
+        aggs=[
+            ("n", "long", CountAggregation),
+            ("distinct_est", "double", LinearCountingAggregation),
+        ],
+        select_cols=[
+            F.col("user_id"), F.col("w_start"), F.col("w_end"), F.col("n"),
+            F.round("distinct_est", 2).alias("distinct_est"),
+        ],
+        value=None,
+        project=lambda ev: ev.select("user_id", "ts", "props", "event_id"),
+    )
+
+
 _CEP_WITHIN_MS = 7 * 86_400_000  # events are sparse per user (median same-
 # user gap ≈ 7 h), so the funnel span bound is a week
 
@@ -929,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_global_6h": q_stream_global_6h,
         "stream_sliding_1h_15m": q_stream_sliding_1h_15m,
         "stream_count_tumbling_25": q_stream_count_tumbling_25,
+        "stream_distinct_6h": q_stream_distinct_6h,
     }
 
 
@@ -1631,4 +1660,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_global_6h": _GLOBAL_KERNEL,
         "stream_sliding_1h_15m": _SLIDING_1H_15M,
         "stream_count_tumbling_25": _COUNT_TUMBLING_25,
+        "stream_distinct_6h": _DISTINCT_KERNEL,
     }
