@@ -417,6 +417,13 @@ class SlicingWindowOperator:
             self.context_free.append(window)
             self.max_fixed_window_size = max(self.max_fixed_window_size, window.clear_delay())
             self.has_fixed_windows = True
+            # a MID-STREAM add must invalidate the cached next-edge
+            # horizon: a finer-grid window added while _min_next_edge_ts
+            # points at the old grid's next edge would have its edges
+            # skipped (no slice cuts → its early instances never cover a
+            # slice) until the coarser edge passes; JLONG_MIN forces
+            # _determine_slices to recompute the min over ALL windows
+            self._min_next_edge_ts = JLONG_MIN
         elif isinstance(window, SessionWindow):
             self.contexts.append(window.create_context())
         if window.measure == WindowMeasure.COUNT:

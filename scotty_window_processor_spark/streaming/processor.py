@@ -221,7 +221,22 @@ def make_handler(
         if state.exists:
             if typed:
                 scalars, sessions, slices = state.get
-                decode_op(op, bulk_kinds, scalars, sessions, slices)
+                try:
+                    decode_op(op, bulk_kinds, scalars, sessions, slices)
+                except IndexError:
+                    # stale registry cache race: this state was encoded by
+                    # a worker that had already picked up a newly added
+                    # SessionWindow (positional ctx_idx beyond our context
+                    # list). Force a registry refresh (poll 0) and retry
+                    # instead of failing the task for up to poll_interval.
+                    if window_registry is None:
+                        raise
+                    from .registry import read_registry as _rr
+
+                    dyn = [w for w in _rr(window_registry, 0.0)
+                           if w.window_id not in base_ids]
+                    op = new_op(dyn)
+                    decode_op(op, bulk_kinds, scalars, sessions, slices)
             else:
                 op = pickle.loads(state.get[0])
                 known = op.registered_window_ids
@@ -232,9 +247,15 @@ def make_handler(
         import time as _time
 
         emit_ms = int(_time.time() * 1000)
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
+        # Materialize the key's WHOLE micro-batch before sorting: Spark
+        # delivers a large group as MULTIPLE Arrow chunks in arrival order
+        # (bounded by arrow.maxRecordsPerBatch), so sorting/seeding per
+        # chunk would treat a later chunk's earlier timestamps as
+        # beyond-watermark late data on the key's first batch (dropped)
+        # and out-of-order surgery the single sort avoids.
+        parts = [p for p in pdfs if not p.empty]
+        if parts:
+            pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
             pdf = pdf.sort_values(ts_col, kind="mergesort")
             ts_ms = pdf[ts_col].to_numpy().astype("datetime64[ms]").astype("int64")
             op.seed_watermark(int(ts_ms[0]) - 1)  # no-op after first batch

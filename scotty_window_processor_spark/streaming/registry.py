@@ -98,12 +98,21 @@ def write_registry(path: str, windows: Sequence[Window]) -> None:
 
 
 def registry_add_window(path: str, window: Window) -> None:
-    """Append one window to a live registry (read-modify-write; the final
-    rename is atomic so readers never see a torn file)."""
-    current = _load(path)
-    if any(w.window_id == window.window_id for w in current):
-        raise ValueError(f"window_id {window.window_id} already registered")
-    write_registry(path, list(current) + [window])
+    """Append one window to a live registry. The read-modify-write runs
+    under an exclusive advisory lock (`<path>.lock`) so CONCURRENT adds
+    serialize instead of silently overwriting each other; the final
+    rename stays atomic so readers never see a torn file."""
+    import fcntl
+
+    with open(f"{path}.lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            current = _load(path)
+            if any(w.window_id == window.window_id for w in current):
+                raise ValueError(f"window_id {window.window_id} already registered")
+            write_registry(path, list(current) + [window])
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
 
 
 def _load(path: str) -> List[Window]:

@@ -53,10 +53,12 @@ class ExactlyOnceParquetSink:
         os.makedirs(self.lineage_dir, exist_ok=True)
         manifest_path = os.path.join(self.lineage_dir, f"batch-{batch_id}.json")
 
-        batch_df = batch_df.withColumn("batch_id", F.lit(batch_id))
         path = os.path.join(self.out_dir, f"batch_id={batch_id}")
         # overwrite THIS batch's directory only: replays are idempotent
-        batch_df.drop("batch_id").write.mode("overwrite").format(self.table_format).save(path)
+        writer = batch_df.write.mode("overwrite").format(self.table_format)
+        if self.partition_cols:
+            writer = writer.partitionBy(*self.partition_cols)
+        writer.save(path)
 
         spark = batch_df.sparkSession
         # read back with the SAME format: an Iceberg path keeps superseded
@@ -101,12 +103,7 @@ class ExactlyOnceParquetSink:
 
     def read_committed(self, spark: SparkSession) -> DataFrame:
         """Read only batches whose lineage manifest was committed."""
-        batches = []
-        if os.path.isdir(self.lineage_dir):
-            for name in sorted(os.listdir(self.lineage_dir)):
-                if name.startswith("batch-") and name.endswith(".json"):
-                    with open(os.path.join(self.lineage_dir, name)) as f:
-                        batches.append(json.load(f))
+        batches = self.lineage()
         paths = [b["path"] for b in batches if b["rows"] > 0 and os.path.isdir(b["path"])]
         if not paths:
             from pyspark.sql.types import StructType

@@ -542,3 +542,96 @@ def test_stream_metrics_recorder(spark, transcript_files, tmp_path):
     assert any((r["eventTime"] or {}).get("watermark") for r in recs)
     keys = [(r["id"], r["batchId"]) for r in recs]
     assert len(keys) == len(set(keys))
+
+
+def test_multichunk_group_arrival_order(spark, tmp_path):
+    """A key whose micro-batch spans MULTIPLE Arrow chunks must behave as
+    one sorted batch: chunks arrive in arrival order, so per-chunk
+    sorting/seeding would treat a later chunk's earlier timestamps as
+    beyond-watermark late data on the key's first batch (rows silently
+    dropped). Rows are written in REVERSE event-time order and the Arrow
+    batch size is pinned tiny so one group = many chunks."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 400
+    pdf = pd.DataFrame({
+        "conv_id": ["k"] * n,
+        "ts": pd.to_datetime([1_000_000 + 1_000 * i for i in range(n)], unit="ms"),
+        "v": [float(i) for i in range(n)],
+    }).iloc[::-1]  # arrival order = reverse event time
+    sent = pdf.iloc[:1].copy()
+    sent["conv_id"] = "zzz_sentinel"
+    sent["ts"] = pdf["ts"].max() + pd.Timedelta(days=1)
+    src = str(tmp_path / "src"); os.makedirs(src)
+    for i, part in enumerate([pdf, sent]):
+        tbl = pa.Table.from_pandas(part, preserve_index=False)
+        tbl = tbl.set_column(tbl.schema.get_field_index("ts"), "ts",
+                             tbl.column("ts").cast(pa.timestamp("us")))
+        pq.write_table(tbl, f"{src}/{i:04d}.parquet")
+        os.utime(f"{src}/{i:04d}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        stream = (
+            spark.readStream.schema(spark.createDataFrame(pdf).schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        result = scotty_stream(
+            stream, key="conv_id", ts="ts", value="v",
+            windows=[TumblingWindow(WindowMeasure.TIME, 60_000, window_id=1)],
+            aggs=[("n", "long", CountAggregation), ("s", "double", SumAggregation)],
+            watermark_delay="1 second", lateness_ms=1_000,
+        )
+        ckpt = str(tmp_path / "ckpt")
+        q = (result.writeStream.format("memory").queryName("multichunk_out")
+             .option("checkpointLocation", ckpt).outputMode("append").start())
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r["w_start"], r["w_end"]): (r["n"], r["s"])
+            for r in spark.table("multichunk_out").where(F.col("conv_id") == "k").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    # batch truth: 400 rows over 400s -> 60s tumbling windows, all full
+    total_n = sum(n_ for n_, _ in got.values())
+    total_s = sum(s_ for _, s_ in got.values())
+    assert total_n == n, f"rows lost across Arrow chunks: {total_n}/{n}"
+    assert total_s == sum(range(n))
+
+
+def test_registry_concurrent_adds_serialize(tmp_path):
+    """Concurrent registry_add_window calls must not lose windows (the
+    read-modify-write serializes under the registry lock)."""
+    import threading
+
+    from scotty_window_processor_spark.streaming.registry import (
+        read_registry,
+        registry_add_window,
+        write_registry,
+    )
+
+    path = str(tmp_path / "registry.json")
+    write_registry(path, [])
+    errs = []
+
+    def add(i):
+        try:
+            registry_add_window(
+                path, TumblingWindow(WindowMeasure.TIME, (i + 1) * 60_000, window_id=100 + i)
+            )
+        except Exception as ex:  # noqa: BLE001
+            errs.append(ex)
+
+    threads = [threading.Thread(target=add, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    got = {w.window_id for w in read_registry(path, poll_interval_s=0)}
+    assert got == {100 + i for i in range(8)}, got

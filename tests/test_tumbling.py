@@ -190,3 +190,28 @@ def test_count_phantom_window_not_emitted():
     op.process_element(1, 1000 + 49 * 10)
     got |= {(w.start, w.end) for w in op.process_watermark(2 * 10**9) if w.has_value}
     assert got == {(0, 25), (25, 50)}
+
+
+def test_dynamic_add_finer_grid_cuts_edges():
+    """A window added MID-STREAM with a finer grid than the running
+    windows must start cutting its own slice edges immediately: the
+    cached next-edge horizon is invalidated on add_window (it pointed at
+    the old grid's next edge, so every finer edge before that would be
+    skipped and the new window's instances would cover no slice)."""
+    base = 36_000_000  # hour 10: keep seed_watermark(min-1) off the -1 sentinel
+    op = SlicingWindowOperator(max_lateness=1_000)
+    op.add_aggregation(PyReduce(lambda a, b: a + b))
+    op.add_window(TumblingWindow(WindowMeasure.TIME, 3_600_000, window_id=1))
+    op.seed_watermark(base - 1)
+    for i in range(10):
+        op.process_element(1, base + i * 60_000)  # first 10 min of the hour
+    # live add: 1-minute tumbling, next hour edge still 50 min away
+    op.add_window(TumblingWindow(WindowMeasure.TIME, 60_000, window_id=2))
+    for i in range(10, 20):
+        op.process_element(1, base + i * 60_000)
+    res = [w for w in op.process_watermark(base + 30 * 60_000) if w.has_value and w.window_id == 2]
+    got = {(w.start, w.end): w.agg_values()[0] for w in res}
+    # minute windows entirely AFTER the add point must emit exactly
+    for m in range(11, 19):
+        w = (base + m * 60_000, base + (m + 1) * 60_000)
+        assert got.get(w) == 1, (m, got)
