@@ -1112,7 +1112,9 @@ WITH p AS (
   FROM p GROUP BY 1, 2
 )
 SELECT user_id, w_start, w_start + 21600000 AS w_end, n,
-       round(-1024 * ln((1024 - occ) / 1024.0), 2) AS distinct_est
+       CASE WHEN occ >= 1024 THEN 1024.0
+            ELSE round(-1024 * ln((1024 - occ) / 1024.0), 2)
+       END AS distinct_est
 FROM g
 """
 

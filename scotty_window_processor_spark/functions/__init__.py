@@ -261,6 +261,12 @@ class LinearCountingAggregation(AggregateFunction[Any, set, float]):
     multiplicity); the kernel recomputes on out-of-order removal like the
     reference's non-invertible path.
 
+    Saturation: a fully occupied sketch (occupied ≥ m) clamps to
+    ``float(m)`` — the estimate formula hits ln(0) there, so any SQL
+    replay must carry the matching ``CASE WHEN occ >= m THEN m`` clamp
+    (the gate oracle does); below saturation the estimate is
+    bit-reproducible from ``count(DISTINCT md5_60(x) % m)``.
+
     Record-mode aggregate: reads ``col`` from each element dict."""
 
     cloneable = True

@@ -215,6 +215,7 @@ def ann_cosine_ivf(
     n_centroids: int = 16,
     n_probe: int = 2,
     centroids: DataFrame | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: the coarse-quantizer counterpart to the
     LSH path. Corpus vectors are assigned to their nearest centroid; a
@@ -223,11 +224,15 @@ def ann_cosine_ivf(
     Scale shape: assignment is ONE Arrow-batched pandas UDF per corpus
     partition (numpy matmul against the broadcast centroid matrix — no
     shuffle, no per-row Python); candidate generation is an equi-join on
-    the centroid id (the inverted list key — with many queries both sides
-    shuffle on it; a small query side broadcasts, which AQE picks
-    automatically). Exact rescoring + round-then-rank exactly as the
-    brute-force baseline, so IVF output ⊆ brute-force candidates with
-    identical scoring.
+    the centroid id (the inverted list key). With the default
+    ``broadcast_queries=True`` the exploded query side (queries × n_probe
+    rows, full embedding vectors) is FORCE-broadcast — right for the
+    common few-queries/huge-corpus shape, an OOM hazard for large query
+    sets: pass ``broadcast_queries=False`` there and both sides shuffle
+    on the centroid id (AQE still picks a broadcast join on its own when
+    the exploded side measures small). Exact rescoring + round-then-rank
+    exactly as the brute-force baseline, so IVF output ⊆ brute-force
+    candidates with identical scoring.
 
     The default centroid set is the corpus head (``id < n_centroids``) —
     deliberately deterministic so the ENTIRE index build is reproducible
@@ -302,7 +307,7 @@ def ann_cosine_ivf(
         .withColumn("qnorm", _norm(F.col("qvec")))
     )
     scored = (
-        corp.join(F.broadcast(qp), "cid")
+        corp.join(F.broadcast(qp) if broadcast_queries else qp, "cid")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cos",

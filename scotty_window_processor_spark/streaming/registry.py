@@ -97,22 +97,48 @@ def write_registry(path: str, windows: Sequence[Window]) -> None:
     os.replace(tmp, path)
 
 
-def registry_add_window(path: str, window: Window) -> None:
-    """Append one window to a live registry. The read-modify-write runs
-    under an exclusive advisory lock (`<path>.lock`) so CONCURRENT adds
-    serialize instead of silently overwriting each other; the final
-    rename stays atomic so readers never see a torn file."""
+def registry_add_window(path: str, window: Window, retries: int = 8) -> None:
+    """Append one window to a live registry.
+
+    Concurrency: the read-modify-write holds an exclusive advisory flock
+    on `<path>.lock` — which serializes writers ONLY on a single host /
+    POSIX-coherent filesystem. On the documented cluster deployment (DFS
+    or object store) advisory locks are unreliable or absent, so the
+    write additionally runs an optimistic version check: the registry
+    mtime is re-stat'ed after staging the new contents and the
+    read-modify-write retries from scratch if another writer landed in
+    between. That closes the lost-update window to the stat→rename gap;
+    drivers that may genuinely race adds from multiple hosts should
+    still route them through one coordinator (adds are rare control-plane
+    events — one per human `addWindow` — not a data-plane path). Readers
+    always see a whole file either way (atomic rename)."""
     import fcntl
 
     with open(f"{path}.lock", "w") as lock:
         fcntl.flock(lock, fcntl.LOCK_EX)
         try:
-            current = _load(path)
-            if any(w.window_id == window.window_id for w in current):
-                raise ValueError(f"window_id {window.window_id} already registered")
-            write_registry(path, list(current) + [window])
+            for attempt in range(retries):
+                before = _mtime_ns(path)
+                current = _load(path)
+                if any(w.window_id == window.window_id for w in current):
+                    raise ValueError(f"window_id {window.window_id} already registered")
+                if _mtime_ns(path) != before:
+                    continue  # concurrent writer between load and check
+                write_registry(path, list(current) + [window])
+                return
+            raise RuntimeError(
+                f"registry_add_window: lost the version race {retries} times "
+                f"on {path!r} — route concurrent adds through one coordinator"
+            )
         finally:
             fcntl.flock(lock, fcntl.LOCK_UN)
+
+
+def _mtime_ns(path: str) -> int:
+    try:
+        return os.stat(path).st_mtime_ns
+    except FileNotFoundError:
+        return -1
 
 
 def _load(path: str) -> List[Window]:
