@@ -860,6 +860,31 @@ class SlicingWindowOperator:
                 candidates.append(ctx.active_windows[0].end + ctx.gap + 1)
         return min(candidates) if candidates else None
 
+    def quiesced(self, watermark_ts: int) -> bool:
+        """True when this kernel can never emit again without NEW input:
+        no count-measure positional counters (they must persist for the
+        stream's lifetime), no active session, and every retained slice —
+        including the OPEN slice that eviction structurally keeps — is
+        past the horizon of any window that could still fire
+        (max_event_time + largest fixed window + lateness < watermark).
+
+        The streaming operators drop the key's whole state cell then. The
+        open-slice floor would otherwise keep every FINISHED conversation
+        in the state store forever and re-arm its event-time timer every
+        window period — at 10^9 conv_id keys that is the difference
+        between state ∝ active keys and state ∝ ever-seen keys. A later
+        element for the key rebuilds a fresh kernel; no window that could
+        have included the dropped slices can still fire, by the horizon
+        above, so emitted results are unchanged."""
+        if self.has_count_measure:
+            return False
+        if any(ctx.active_windows for ctx in self.contexts):
+            return False
+        return (
+            self._max_event_time + self.max_fixed_window_size + self.max_lateness
+            < watermark_ts
+        )
+
     def _evict(self, current_watermark: int) -> None:
         # divergence fix #6: the reference's clearAfterWatermark
         # (WindowManager.java:81-91) computes

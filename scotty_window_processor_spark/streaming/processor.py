@@ -281,8 +281,12 @@ def make_handler(
                 rows.append([key[0], w.window_id, w.measure.value, w.start, w.end, emit_ms, *vals])
 
         nxt = op.next_emission_ts()
-        if nxt is None and op.store.is_empty and not op.has_count_measure:
-            # nothing pending and no positional counters to preserve
+        if (nxt is None and op.store.is_empty and not op.has_count_measure) or op.quiesced(wm):
+            # nothing pending — or the kernel is QUIESCED: only the open
+            # slice remains and it is past every window horizon, so the key
+            # can never emit again without new input. Dropping the state
+            # cell here keeps the store ∝ active keys, not ever-seen keys
+            # (and stops the idle key's timer from re-arming forever).
             state.remove()
         else:
             if typed:

@@ -161,7 +161,10 @@ class ScottyStatefulProcessor(StatefulProcessor):
 
     def _finish(self, op: SlicingWindowOperator, old_timer: int, wm: int):
         nxt = op.next_emission_ts()
-        if nxt is None and op.store.is_empty:
+        if (nxt is None and op.store.is_empty) or op.quiesced(wm):
+            # count windows can't reach here (rejected in __init__), so the
+            # quiesce check mirrors streaming.processor: a kernel whose only
+            # remaining slice is past every window horizon is dead state
             self._clear(old_timer)
             return
         new_timer = max(nxt if nxt is not None else wm + 1, wm + 1)
