@@ -531,7 +531,7 @@ _STREAM_SEQ = [0]
 
 def _replay_events_stream(spark, sf_dir, windows, aggs, select_cols,
                           value="value", project=None, build=None,
-                          out_filter=None):
+                          out_filter=None, sentinel_days=1):
     """Write events (ts-sorted) as 6 parquet files + one far-future
     sentinel row, replay with maxFilesPerTrigger=1 through scotty_stream,
     block until drained, return the emitted windows as a batch DataFrame.
@@ -562,7 +562,10 @@ def _replay_events_stream(spark, sf_dir, windows, aggs, select_cols,
         batch = batch.select("user_id", "ts", "value", "event_id")
     schema = batch.schema
     pdf = batch.toPandas().sort_values("ts", kind="mergesort").reset_index(drop=True)
-    sentinel_ts = pdf["ts"].max() + __import__("pandas").Timedelta(days=1)
+    # sentinel_days must exceed every horizon the operator waits on (window
+    # end + gap + lateness; for quantified CEP, within_ms past the last
+    # possible start) or the final flush leaves tail state undecided
+    sentinel_ts = pdf["ts"].max() + __import__("pandas").Timedelta(days=sentinel_days)
 
     src = tempfile.mkdtemp(prefix="scotty_gate_stream_")
     ckpt = tempfile.mkdtemp(prefix="scotty_gate_ckpt_")
@@ -913,6 +916,69 @@ def q_stream_cep_funnel(spark, sf_dir):
     )
 
 
+def q_cep_retry_funnel(spark, sf_dir):
+    """CEP with BOUNDED QUANTIFIERS (MATCH_RECOGNIZE {m,n}): view →
+    click{1,3} → purchase on strictly consecutive per-user events, greedy
+    priority (longest click run wins per start), whole run within 7 days.
+    Compiles to ONE lead() family sized by the longest expansion with the
+    per-expansion predicates chained into a single CASE
+    (plans/cep.py match_pattern_quantified)."""
+    _utc(spark)
+    from scotty_window_processor_spark.plans.cep import match_pattern_quantified
+
+    return match_pattern_quantified(
+        _events(spark, sf_dir), key="user_id", ts="ts",
+        steps=[
+            (lambda c: c["event_type"] == "view", 1, 1),
+            (lambda c: c["event_type"] == "click", 1, 3),
+            (lambda c: c["event_type"] == "purchase", 1, 1),
+        ],
+        step_cols=["event_type"], within_ms=_CEP_WITHIN_MS,
+        tiebreak="event_id", greedy=True,
+    ).select(
+        "user_id", "w_start", "w_end", "match_len",
+        F.col("s1_n").alias("n_clicks"),
+    )
+
+
+def q_stream_cep_retry_funnel(spark, sf_dir):
+    """Streaming replay of the quantified retry funnel
+    (streaming/cep.py cep_stream_quantified): per-start greedy decisions
+    under the span-bound refutation protocol — a tail start whose longer
+    expansions would need rows that never come is decided once the
+    watermark passes start + within_ms, matching batch lead()-null
+    semantics. Gated against the same DuckDB oracle as the batch query."""
+    from scotty_window_processor_spark.streaming.cep import cep_stream_quantified
+
+    def build(stream):
+        return cep_stream_quantified(
+            stream, key="user_id", ts="ts",
+            steps=[
+                (lambda d: d["event_type"].to_numpy() == "view", 1, 1),
+                (lambda d: d["event_type"].to_numpy() == "click", 1, 3),
+                (lambda d: d["event_type"].to_numpy() == "purchase", 1, 1),
+            ],
+            step_cols=["event_type"], within_ms=_CEP_WITHIN_MS,
+            tiebreak="event_id", greedy=True,
+            watermark_delay="30 seconds",
+        ).select(
+            "user_id", "w_start", "w_end", "match_len",
+            F.col("s1_n").alias("n_clicks"),
+        )
+
+    def project(events):
+        return events.select("user_id", "ts", "event_type", "event_id")
+
+    return _replay_events_stream(
+        spark, sf_dir, windows=None, aggs=None,
+        select_cols=["user_id", "w_start", "w_end", "match_len", "n_clicks"],
+        value=None, project=project, build=build,
+        # a tail start is only decidable once the watermark passes
+        # start + within_ms (7 d): push the sentinel past that horizon
+        sentinel_days=8,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tumbling_1h": q_tumbling_1h,
@@ -953,6 +1019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_payload_6h": q_stream_payload_6h,
         "cep_funnel": q_cep_funnel,
         "stream_cep_funnel": q_stream_cep_funnel,
+        "cep_retry_funnel": q_cep_retry_funnel,
+        "stream_cep_retry_funnel": q_stream_cep_retry_funnel,
         "stream_interval_join": q_stream_interval_join,
         "stream_global_6h": q_stream_global_6h,
         "stream_sliding_1h_15m": q_stream_sliding_1h_15m,
@@ -1615,6 +1683,36 @@ WHERE y0 = 'view' AND y1 = 'click' AND y2 = 'purchase'
   AND t2 - t0 <= 604800000
 """
 
+# quantified funnel view -> click{1,3} -> purchase, GREEDY priority: the
+# CASE tries the longest expansion first, so per start row the most clicks
+# win — the same total order match_pattern_quantified's chained whens induce
+_CEP_RETRY_FUNNEL = """
+WITH o AS (
+  SELECT user_id, epoch_ms(ts) AS t0, event_type AS y0,
+         lead(event_type, 1) OVER w AS y1, lead(epoch_ms(ts), 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS y2, lead(epoch_ms(ts), 2) OVER w AS t2,
+         lead(event_type, 3) OVER w AS y3, lead(epoch_ms(ts), 3) OVER w AS t3,
+         lead(event_type, 4) OVER w AS y4, lead(epoch_ms(ts), 4) OVER w AS t4
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), m AS (
+  SELECT user_id, t0, t2, t3, t4,
+    CASE
+      WHEN y0='view' AND y1='click' AND y2='click' AND y3='click'
+           AND y4='purchase' AND t4 - t0 <= 604800000 THEN 5
+      WHEN y0='view' AND y1='click' AND y2='click'
+           AND y3='purchase' AND t3 - t0 <= 604800000 THEN 4
+      WHEN y0='view' AND y1='click'
+           AND y2='purchase' AND t2 - t0 <= 604800000 THEN 3
+    END AS match_len
+  FROM o
+)
+SELECT user_id, t0 AS w_start,
+       CASE match_len WHEN 5 THEN t4 WHEN 4 THEN t3 ELSE t2 END AS w_end,
+       CAST(match_len AS BIGINT) AS match_len,
+       CAST(match_len - 2 AS BIGINT) AS n_clicks
+FROM m WHERE match_len IS NOT NULL
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -1658,6 +1756,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_payload_6h": _PAYLOAD_KERNEL,
         "cep_funnel": _CEP_FUNNEL,
         "stream_cep_funnel": _CEP_FUNNEL,
+        "cep_retry_funnel": _CEP_RETRY_FUNNEL,
+        "stream_cep_retry_funnel": _CEP_RETRY_FUNNEL,
         "stream_interval_join": _STREAM_JOIN_PAIRS,
         "stream_global_6h": _GLOBAL_KERNEL,
         "stream_sliding_1h_15m": _SLIDING_1H_15M,

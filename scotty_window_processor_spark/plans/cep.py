@@ -93,3 +93,118 @@ def match_pattern(
         for c in capture:
             out_cols.append(step_view[j][c].alias(f"s{j}_{c}"))
     return sel.where(pred).select(*out_cols)
+
+
+# quantified patterns ------------------------------------------------------
+
+# a quantified step: (predicate, min_repeats, max_repeats); {1,1} is a plain
+# step, {0,1} an optional one
+QuantStep = "tuple[StepPredicate, int, int]"
+
+
+def expand_quantified(steps, greedy: bool = True):
+    """Enumerate every fixed-length expansion of a bounded-quantifier
+    pattern in MATCH priority order. Returns [(counts, flat)] where
+    ``counts[i]`` is step i's repeat count and ``flat`` the per-row step
+    indexes. ``greedy=True`` (the MATCH_RECOGNIZE default) prefers more
+    repeats, leftmost quantifier first — regex ``{m,n}``; ``greedy=False``
+    is the reluctant ``{m,n}?``. Expansion count is ∏(max−min+1): bounded
+    quantifiers by construction, so the lead() family stays finite."""
+    from itertools import product
+
+    ranges = []
+    for _, lo, hi in steps:
+        if lo < 0 or hi < lo:
+            raise ValueError(f"bad quantifier bounds {{{lo},{hi}}}")
+        ranges.append(range(hi, lo - 1, -1) if greedy else range(lo, hi + 1))
+    out = []
+    for counts in product(*ranges):
+        flat = [i for i, c in enumerate(counts) for _ in range(c)]
+        if flat:
+            out.append((tuple(counts), flat))
+    if not out:
+        raise ValueError("pattern must admit at least one non-empty expansion")
+    return out
+
+
+def match_pattern_quantified(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    steps: Sequence,
+    step_cols: Sequence[str],
+    within_ms: Optional[int] = None,
+    tiebreak: Optional[str] = None,
+    greedy: bool = True,
+) -> DataFrame:
+    """Bounded-quantifier pattern matching: ``steps`` is a sequence of
+    ``(predicate, min, max)`` triples — PATTERN (S0{m0,n0} … Sk{mk,nk}),
+    contiguous rows, AFTER MATCH SKIP TO NEXT ROW. Per start row the
+    first expansion in priority order (greedy by default) that matches
+    wins; a lookahead running past the key's last row fails that
+    expansion (lead() null), exactly like the fixed-length matcher.
+
+    Returns one row per match: ``key``, ``w_start``/``w_end`` (epoch-ms
+    of the first/last matched row), ``match_len``, and ``s{i}_n`` — how
+    many rows step i consumed (0 for skipped optional steps). Captures
+    are not supported under quantifiers (per-step column positions are
+    ambiguous across expansions); use the counts + a self-join when the
+    payload is needed.
+
+    Plan shape is the fixed matcher's: ONE exchange + one sort feed a
+    single lead() family sized by the LONGEST expansion; every
+    expansion's predicate is a conjunction over the same lead columns,
+    chained into one CASE (Catalyst CSE dedups the shared conjuncts), so
+    the whole pattern stays in whole-stage codegen with no joins."""
+    expansions = expand_quantified(steps, greedy)
+    L_max = max(len(flat) for _, flat in expansions)
+    needed = list(dict.fromkeys(list(step_cols) + [ts]))
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+
+    proj_cols = list(dict.fromkeys(needed + ([tiebreak] if tiebreak else [])))
+    sel = df.select(key, *proj_cols)
+    views: list[Dict[str, Column]] = [{c: F.col(c) for c in needed}]
+    lead_cols = []
+    for j in range(1, L_max):
+        view = {}
+        for c in needed:
+            name = f"_q{j}_{c}"
+            lead_cols.append(F.lead(c, j).over(w).alias(name))
+            view[c] = F.col(name)
+        views.append(view)
+    if lead_cols:
+        sel = sel.select("*", *lead_cols)
+
+    first_ms = _epoch_ms(F.col(ts))
+    len_chain = end_chain = None
+    count_chains: list = [None] * len(steps)
+    for counts, flat in expansions:
+        L = len(flat)
+        pred = steps[flat[0]][0](views[0])
+        for j in range(1, L):
+            pred = pred & steps[flat[j]][0](views[j])
+        last_ms = _epoch_ms(views[L - 1][ts])
+        if within_ms is not None:
+            pred = pred & (last_ms - first_ms <= F.lit(within_ms))
+        if len_chain is None:
+            len_chain = F.when(pred, F.lit(L))
+            end_chain = F.when(pred, last_ms)
+            count_chains = [F.when(pred, F.lit(c)) for c in counts]
+        else:
+            len_chain = len_chain.when(pred, F.lit(L))
+            end_chain = end_chain.when(pred, last_ms)
+            count_chains = [
+                ch.when(pred, F.lit(c)) for ch, c in zip(count_chains, counts)
+            ]
+
+    return sel.where(len_chain.isNotNull()).select(
+        F.col(key),
+        first_ms.alias("w_start"),
+        end_chain.alias("w_end"),
+        len_chain.cast("long").alias("match_len"),
+        *[
+            count_chains[i].cast("long").alias(f"s{i}_n")
+            for i in range(len(steps))
+        ],
+    )

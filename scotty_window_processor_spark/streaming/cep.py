@@ -156,6 +156,204 @@ def make_cep_handler(
     return handler
 
 
+def make_cep_quant_handler(
+    key_name: str,
+    ts_col: str,
+    steps: Sequence,
+    cols: Sequence[str],
+    within_ms: int,
+    tiebreak: Optional[str],
+    out_fields: Sequence[str],
+    expansions: Sequence,
+):
+    """Stateful handler for bounded-quantifier patterns (pure function of
+    config — shippable via --py-files).
+
+    Decision protocol (the reason ``within_ms`` is mandatory here): an
+    expansion's verdict on finalized rows is immutable, but a start row
+    cannot be DECIDED until every higher-priority expansion is decided —
+    and an expansion needing rows beyond the key's current end is
+    undecidable until either those rows arrive or the watermark passes
+    ``start_ts + within_ms`` (any future row would then violate the span
+    bound, refuting the expansion — future rows are never late past the
+    watermark). Each start is therefore decided exactly once, emitting at
+    most one match; state keeps the unfinalized buffer plus finalized
+    rows from the FIRST undecided start onward, which the span bound
+    caps at the rows inside one ``within_ms`` horizon per key."""
+    sort_cols = ["_ts_ms"] + ([tiebreak] if tiebreak else [])
+    keep = list(dict.fromkeys(list(cols) + ([tiebreak] if tiebreak else [])))
+    n_steps = len(steps)
+
+    def handler(
+        key: Tuple[Any], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.exists:
+            buf, seq, decided = pickle.loads(state.get[0])
+        else:
+            buf, seq, decided = None, None, None
+
+        new_parts = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            part = pdf[list(dict.fromkeys(keep + [ts_col]))].copy()
+            part["_ts_ms"] = (
+                part[ts_col].to_numpy().astype("datetime64[ms]").astype("int64")
+            )
+            if ts_col not in keep:
+                part = part.drop(columns=[ts_col])
+            new_parts.append(part)
+        if new_parts:
+            buf = pd.concat(([buf] if buf is not None else []) + new_parts, ignore_index=True)
+
+        wm = state.getCurrentWatermarkMs()
+        rows = []
+        if wm > 0:
+            if buf is not None and len(buf):
+                final_mask = buf["_ts_ms"].to_numpy() < wm
+                newly = buf[final_mask].sort_values(sort_cols, kind="mergesort")
+                buf = buf[~final_mask].reset_index(drop=True)
+                if len(newly):
+                    seq = pd.concat(
+                        ([seq] if seq is not None else []) + [newly], ignore_index=True
+                    )
+                    decided = np.concatenate(
+                        [
+                            decided if decided is not None else np.zeros(0, dtype=bool),
+                            np.zeros(len(newly), dtype=bool),
+                        ]
+                    )
+            if seq is not None and len(seq):
+                n = len(seq)
+                ts_ms = seq["_ts_ms"].to_numpy()
+                bools = [np.asarray(p(seq), dtype=bool) for p, _, _ in steps]
+                time_refut = wm - ts_ms > within_ms
+                done = decided.copy()
+                undecided = np.zeros(n, dtype=bool)
+                chosen = np.full(n, -1, dtype=np.int64)
+                for e_idx, (counts, flat) in enumerate(expansions):
+                    L = len(flat)
+                    evaluable = np.zeros(n, dtype=bool)
+                    ok = np.zeros(n, dtype=bool)
+                    if n >= L:
+                        evaluable[: n - L + 1] = True
+                        m = np.ones(n - L + 1, dtype=bool)
+                        for j, s_idx in enumerate(flat):
+                            m &= bools[s_idx][j : j + n - L + 1]
+                        m &= ts_ms[L - 1 :] - ts_ms[: n - L + 1] <= within_ms
+                        ok[: n - L + 1] = m
+                    # cannot evaluate AND cannot refute by time: the start
+                    # must wait (higher-priority expansions block lower)
+                    blocked = ~done & ~evaluable & ~time_refut
+                    undecided |= blocked
+                    done |= blocked
+                    newly_matched = ~done & evaluable & ok
+                    chosen[newly_matched] = e_idx
+                    done |= newly_matched
+                for i in np.nonzero(chosen >= 0)[0].tolist():
+                    counts, flat = expansions[chosen[i]]
+                    L = len(flat)
+                    rows.append(
+                        [key[0], int(ts_ms[i]), int(ts_ms[i + L - 1]), L, *counts]
+                    )
+                decided = ~undecided
+                first_undec = int(np.argmax(undecided)) if undecided.any() else n
+                if first_undec > 0:
+                    seq = seq.iloc[first_undec:].reset_index(drop=True)
+                    decided = decided[first_undec:]
+                if not len(seq):
+                    seq, decided = None, None
+
+        has_buf = buf is not None and len(buf) > 0
+        has_seq = seq is not None and len(seq) > 0
+        if not has_buf and not has_seq:
+            if state.exists:
+                state.remove()
+        else:
+            state.update(
+                (
+                    pickle.dumps(
+                        (
+                            buf if has_buf else None,
+                            seq if has_seq else None,
+                            decided if has_seq else None,
+                        )
+                    ),
+                )
+            )
+            if has_buf:
+                state.setTimeoutTimestamp(max(int(buf["_ts_ms"].min()), wm + 1))
+            else:
+                # only undecided starts remain: they resolve by time once
+                # the watermark passes first start + within_ms
+                state.setTimeoutTimestamp(
+                    max(int(seq["_ts_ms"].iloc[0]) + within_ms + 1, wm + 1)
+                )
+
+        if rows:
+            yield pd.DataFrame(rows, columns=list(out_fields))
+
+    return handler
+
+
+def cep_stream_quantified(
+    stream_df: DataFrame,
+    key: str,
+    ts: str,
+    steps: Sequence,
+    step_cols: Sequence[str],
+    within_ms: int,
+    tiebreak: Optional[str] = None,
+    greedy: bool = True,
+    watermark_delay: str = "30 seconds",
+) -> DataFrame:
+    """Streaming twin of ``plans.cep.match_pattern_quantified``: bounded
+    quantifiers ``(predicate, min, max)`` per step, greedy by default,
+    emitting (key, w_start, w_end, match_len, s{i}_n) exactly once per
+    decided start. ``within_ms`` is REQUIRED: without a span bound a
+    start at the stream tail whose higher-priority (longer) expansion
+    needs rows that may never come could never be decided — the span
+    bound turns "rows that may never come" into a refutation once the
+    watermark passes start + within_ms, so the stream drains to the same
+    match set the batch matcher computes on the finalized rows."""
+    if within_ms is None:
+        raise ValueError(
+            "cep_stream_quantified requires within_ms: unbounded quantified "
+            "patterns are undecidable at the stream tail (see docstring)"
+        )
+    from ..plans.cep import expand_quantified
+
+    expansions = expand_quantified(steps, greedy)
+    needed = list(
+        dict.fromkeys(list(step_cols) + ([tiebreak] if tiebreak else []) + [key, ts])
+    )
+    pruned = stream_df.select(*needed)
+    fields = [
+        T.StructField(key, stream_df.schema[key].dataType, True),
+        T.StructField("w_start", T.LongType(), False),
+        T.StructField("w_end", T.LongType(), False),
+        T.StructField("match_len", T.LongType(), False),
+    ] + [T.StructField(f"s{i}_n", T.LongType(), False) for i in range(len(steps))]
+    schema = T.StructType(fields)
+    handler = make_cep_quant_handler(
+        key, ts, steps, step_cols, within_ms, tiebreak,
+        [f.name for f in fields], expansions,
+    )
+    return (
+        pruned.withWatermark(ts, watermark_delay)
+        .groupBy(key)
+        .applyInPandasWithState(
+            handler,
+            outputStructType=schema,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def cep_stream(
     stream_df: DataFrame,
     key: str,
