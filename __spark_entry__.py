@@ -632,6 +632,237 @@ def _replay_events_stream(spark, sf_dir, windows, aggs, select_cols,
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _replay_events_stream_phased(spark, sf_dir, build, select_cols,
+                                 project=None, restart=False, mid_hook=None,
+                                 n_files=6, split=3, sentinel_days=1):
+    """Two-phase replay for RESTART and LIVE-CONTROL gates: deliver the
+    first ``split`` files, drain, then either STOP the query (restart=True
+    — kill-mid-stream) and/or run ``mid_hook()`` (e.g. a live registry
+    window add), deliver the remaining files + the far-future sentinel,
+    and drain again — restarting from the SAME checkpoint when
+    restart=True. Uses foreachBatch + ExactlyOnceParquetSink because the
+    memory sink cannot resume from a checkpoint; returns the sink's
+    committed rows as a batch DataFrame. The file split is deterministic
+    (ts-sorted rows, fixed chunking), so the phase-boundary watermark is a
+    constant the DuckDB oracle can recompute."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scotty_window_processor_spark.streaming.sink import ExactlyOnceParquetSink
+
+    _utc(spark)
+    batch = _events(spark, sf_dir)
+    if project is not None:
+        batch = project(batch)
+    else:
+        batch = batch.select("user_id", "ts", "value", "event_id")
+    schema = batch.schema
+    pdf = batch.toPandas().sort_values("ts", kind="mergesort").reset_index(drop=True)
+    sentinel_ts = pdf["ts"].max() + __import__("pandas").Timedelta(days=sentinel_days)
+
+    src = tempfile.mkdtemp(prefix="scotty_gate_phased_")
+    ckpt = tempfile.mkdtemp(prefix="scotty_gate_phased_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix="scotty_gate_phased_out_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+
+    chunk = (len(pdf) + n_files - 1) // n_files
+    pieces = [pdf.iloc[i * chunk : (i + 1) * chunk] for i in range(n_files)]
+    sentinel = pdf.iloc[:1].copy()
+    sentinel["user_id"] = -1
+    sentinel["ts"] = sentinel_ts
+    if "value" in sentinel.columns:
+        sentinel["value"] = 0.0
+    pieces.append(sentinel)
+    mtime = 1_000_000_000
+
+    def deliver(i, part):
+        tbl = pa.Table.from_pandas(part, preserve_index=False)
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("ts"), "ts",
+            tbl.column("ts").cast(pa.timestamp("us")),
+        )
+        tmp = f"{src}/.tmp-{i:04d}"
+        pq.write_table(tbl, tmp)
+        _os.utime(tmp, (mtime + i, mtime + i))
+        _os.rename(tmp, f"{src}/{i:04d}.parquet")
+
+    sink = ExactlyOnceParquetSink(out_dir)
+
+    def start_query():
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        return (
+            build(stream).writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt).outputMode("append").start()
+        )
+
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        for i, part in enumerate(pieces[:split]):
+            if len(part):
+                deliver(i, part)
+        q = start_query()
+        q.processAllAvailable()
+        if restart:
+            q.stop()  # kill mid-stream; state lives only in the checkpoint
+        if mid_hook is not None:
+            mid_hook()
+        for i, part in enumerate(pieces[split:], start=split):
+            if len(part):
+                deliver(i, part)
+        if restart:
+            q = start_query()  # resume from the same checkpoint
+        q.processAllAvailable()
+        q.stop()
+        out = sink.read_committed(spark).where(F.col("user_id") >= 0)
+        return out.select(*select_cols)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        # out_dir must outlive this call: read_committed is lazy, and the
+        # driver's gate collects AFTER we return. Leak a tempdir per gate
+        # run (harness-only, cleaned by the OS tmp reaper).
+
+
+def q_stream_tumbling_restart(spark, sf_dir):
+    """CHECKPOINT-RESTART gate (exactly-once, north_rule): tumbling(1h)
+    replay KILLED after the first 3 of 7 files, resumed from the same
+    checkpoint with the exactly-once parquet sink, drained, and the
+    committed rows gated against the same DuckDB oracle as the batch
+    tumbling query — kill/resume must lose nothing and duplicate
+    nothing."""
+    from scotty_window_processor_spark.functions import CountAggregation, SumAggregation
+    from scotty_window_processor_spark.operators import TumblingWindow, WindowMeasure
+    from scotty_window_processor_spark.streaming.processor import scotty_stream
+
+    def build(stream):
+        return scotty_stream(
+            stream, key="user_id", ts="ts", value="value",
+            windows=[TumblingWindow(WindowMeasure.TIME, SIZE_H, window_id=1)],
+            aggs=[("n", "long", CountAggregation), ("sum_value", "double", SumAggregation)],
+            watermark_delay="30 seconds", lateness_ms=30_000,
+        )
+
+    return _replay_events_stream_phased(
+        spark, sf_dir, build,
+        select_cols=[
+            F.col("user_id"), F.col("w_start"), F.col("w_end"), F.col("n"),
+            F.round("sum_value", 2).alias("sum_value"),
+        ],
+        restart=True,
+    )
+
+
+def q_stream_payload_restart(spark, sf_dir):
+    """CHECKPOINT-RESTART gate for the NORTH-STAR payload aggregates in
+    RECORD mode: the pickled-kernel state tier (tool tally + ordered role
+    rollup partials, per-slice record buffers) must survive a
+    kill-mid-stream + resume byte-for-byte — committed rows vs the same
+    _PAYLOAD_KERNEL oracle as the batch and single-run streaming gates."""
+    from scotty_window_processor_spark.functions import (
+        CountAggregation,
+        RoleTextRollupString,
+        ToolTallyString,
+    )
+    from scotty_window_processor_spark.operators import TumblingWindow, WindowMeasure
+    from scotty_window_processor_spark.streaming.processor import scotty_stream
+
+    def project(events):
+        return events.select(
+            "user_id",
+            "ts",
+            F.col("event_type").alias("role"),
+            F.col("event_type").alias("tool"),
+            F.col("event_id").alias("turn_idx"),
+            F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("text"),
+        )
+
+    def build(stream):
+        return scotty_stream(
+            stream, key="user_id", ts="ts", value=None,
+            windows=[TumblingWindow(WindowMeasure.TIME, 6 * SIZE_H, window_id=1)],
+            aggs=[
+                ("n", "long", CountAggregation),
+                ("tool_tally", "string", ToolTallyString),
+                ("role_rollup", "string", RoleTextRollupString),
+            ],
+            watermark_delay="30 seconds", lateness_ms=30_000,
+        )
+
+    return _replay_events_stream_phased(
+        spark, sf_dir, build,
+        select_cols=["user_id", "w_start", "w_end", "n", "tool_tally", "role_rollup"],
+        project=project, restart=True,
+    )
+
+
+def q_stream_live_add(spark, sf_dir):
+    """LIVE WINDOW ADDITION gate (the reference's addWindow on a RUNNING
+    operator, WindowManager.java:124-143): tumbling(1h) runs as the base
+    window; after the first 3 of 7 files drain, registry_add_window puts
+    tumbling(30m) into the control file while the query KEEPS RUNNING.
+    Emitted rows: window 1 in full, window 2 filtered to instances fully
+    past the phase-boundary watermark (earlier instances legitimately see
+    only retained slices — reference add-mid-stream visibility; pinned
+    exact by test_streaming.py::test_live_window_addition_via_registry).
+    The oracle recomputes the boundary watermark from the deterministic
+    file split: max ts of the first 3·ceil(n/6) ts-ordered rows − 30 s."""
+    import tempfile
+
+    from scotty_window_processor_spark.functions import CountAggregation, SumAggregation
+    from scotty_window_processor_spark.operators import TumblingWindow, WindowMeasure
+    from scotty_window_processor_spark.streaming.processor import scotty_stream
+    from scotty_window_processor_spark.streaming.registry import (
+        registry_add_window,
+        write_registry,
+    )
+
+    registry = tempfile.mktemp(prefix="scotty_gate_registry_", suffix=".json")
+    write_registry(registry, [])
+
+    def build(stream):
+        return scotty_stream(
+            stream, key="user_id", ts="ts", value="value",
+            windows=[TumblingWindow(WindowMeasure.TIME, SIZE_H, window_id=1)],
+            aggs=[("n", "long", CountAggregation), ("sum_value", "double", SumAggregation)],
+            watermark_delay="30 seconds", lateness_ms=30_000,
+            window_registry=registry, registry_poll_s=0.0,
+        )
+
+    def add_window():
+        registry_add_window(
+            registry, TumblingWindow(WindowMeasure.TIME, 1_800_000, window_id=2)
+        )
+
+    out = _replay_events_stream_phased(
+        spark, sf_dir, build,
+        select_cols=[
+            F.col("user_id"), F.col("window_id"), F.col("w_start"), F.col("w_end"),
+            F.col("n"), F.round("sum_value", 2).alias("sum_value"),
+        ],
+        restart=False, mid_hook=add_window,
+    )
+    # the add-boundary watermark, recomputed exactly as the oracle does
+    ev = _events(spark, sf_dir)
+    n_rows = ev.count()
+    chunk = (n_rows + 5) // 6
+    add_wm = (
+        ev.orderBy("ts").limit(3 * chunk)
+        .agg(F.unix_millis(F.max("ts").cast("timestamp"))).collect()[0][0]
+        - 30_000
+    )
+    return out.where(
+        (F.col("window_id") == 1) | (F.col("w_start") >= F.lit(add_wm))
+    )
+
+
 def q_stream_tumbling_1h(spark, sf_dir):
     """Structured-streaming replay gate: tumbling(1h) per user through the
     stateful slicing operator, emitted rows vs the batch _TUMBLING_1H
@@ -1026,6 +1257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding_1h_15m": q_stream_sliding_1h_15m,
         "stream_count_tumbling_25": q_stream_count_tumbling_25,
         "stream_distinct_6h": q_stream_distinct_6h,
+        "stream_tumbling_restart": q_stream_tumbling_restart,
+        "stream_payload_restart": q_stream_payload_restart,
+        "stream_live_add": q_stream_live_add,
     }
 
 
@@ -1683,6 +1917,34 @@ WHERE y0 = 'view' AND y1 = 'click' AND y2 = 'purchase'
   AND t2 - t0 <= 604800000
 """
 
+# live-add gate: window 1 (tumbling 1h) in full; window 2 (tumbling 30m,
+# added to the RUNNING query after 3 of 6 data files) for instances fully
+# past the phase-boundary watermark — recomputed here from the same
+# deterministic split the harness uses (ties inside a ts collide on the
+# same max, so row_number tie order cannot change add_wm)
+_LIVE_ADD = """
+WITH ranked AS (
+  SELECT ts, row_number() OVER (ORDER BY ts) AS rn, count(*) OVER () AS n_rows
+  FROM events
+), wmv AS (
+  SELECT epoch_ms(max(ts)) - 30000 AS add_wm
+  FROM ranked WHERE rn <= 3 * CAST(ceil(n_rows / 6.0) AS BIGINT)
+)
+SELECT user_id, CAST(1 AS BIGINT) AS window_id,
+       epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS w_start,
+       epoch_ms(time_bucket(INTERVAL '1 hour', ts)) + 3600000 AS w_end,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY user_id, time_bucket(INTERVAL '1 hour', ts)
+UNION ALL
+SELECT user_id, CAST(2 AS BIGINT) AS window_id,
+       epoch_ms(time_bucket(INTERVAL '30 minutes', ts)) AS w_start,
+       epoch_ms(time_bucket(INTERVAL '30 minutes', ts)) + 1800000 AS w_end,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY user_id, time_bucket(INTERVAL '30 minutes', ts)
+HAVING epoch_ms(time_bucket(INTERVAL '30 minutes', ts)) >= (SELECT add_wm FROM wmv)
+"""
+
 # quantified funnel view -> click{1,3} -> purchase, GREEDY priority: the
 # CASE tries the longest expansion first, so per start row the most clicks
 # win — the same total order match_pattern_quantified's chained whens induce
@@ -1758,6 +2020,9 @@ def oracle_sql() -> dict[str, str]:
         "stream_cep_funnel": _CEP_FUNNEL,
         "cep_retry_funnel": _CEP_RETRY_FUNNEL,
         "stream_cep_retry_funnel": _CEP_RETRY_FUNNEL,
+        "stream_tumbling_restart": _TUMBLING_1H,
+        "stream_payload_restart": _PAYLOAD_KERNEL,
+        "stream_live_add": _LIVE_ADD,
         "stream_interval_join": _STREAM_JOIN_PAIRS,
         "stream_global_6h": _GLOBAL_KERNEL,
         "stream_sliding_1h_15m": _SLIDING_1H_15M,
