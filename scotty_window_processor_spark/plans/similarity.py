@@ -183,10 +183,33 @@ def cosine_topk_lsh(
 def embedding_near_dup(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95,
     dim: int = 64, planes_per_table: int = 10, tables: int = 6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH candidates + exact
-    cosine verification."""
+    cosine verification.
+
+    Scale note: intra-bucket candidate pairs grow QUADRATICALLY with
+    bucket density (10× corpus at fixed planes ⇒ ~100× pairs — measured
+    in the sf0.1→sf1.0 scale validation, where this query's 7.6× wall
+    ratio was the bench's worst). Two levers, same as dedup's
+    ``max_shingle_df``: scale ``planes_per_table`` with log2(corpus) so
+    density stays constant, and/or set ``max_bucket_size`` to drop
+    buckets denser than the cap from candidate generation (broadcast
+    anti-join, no extra shuffle of the big side). Recall trade-off: a
+    pair whose shared buckets are ALL above the cap is missed — that
+    region of embedding space is so dense that its members have many
+    near-dups each, so the practical loss is which twin survives, not
+    whether dup-mass is found. The cap is deterministic (a pure function
+    of the bucket assignment), so capped runs stay oracle-reproducible."""
     buckets = signed_projection_buckets(df, id_col, vec_col, dim, planes_per_table, tables)
+    if max_bucket_size is not None:
+        hot = (
+            buckets.groupBy("tbl", "bucket")
+            .count()
+            .where(F.col("count") > max_bucket_size)
+            .select("tbl", "bucket")
+        )
+        buckets = buckets.join(F.broadcast(hot), ["tbl", "bucket"], "left_anti")
     a = buckets.withColumnRenamed("id", "id_a")
     b = buckets.withColumnRenamed("id", "id_b")
     cand = (

@@ -10,6 +10,12 @@ table through:
   (b) the bucket-per-window plan (one Catalyst groupBy(F.window) subplan
       per window, unioned) — what a user without the engine would write.
 
+Each point runs in a FRESH subprocess: measured in round 4, running the
+sweep inside one JVM degrades later points badly (W=256 shared exec
+9.06 s inline vs 2.82 s fresh — accumulated plan-cache/GC pressure from
+the earlier points' verify joins), so per-point isolation is what makes
+the curve trustworthy.
+
 Writes BENCH/window_sweep.md (sidecar, never touches BASELINE.md).
 
 Usage: python scripts/run_window_sweep.py [--counts 1,4,16,64,256]
@@ -18,12 +24,45 @@ Usage: python scripts/run_window_sweep.py [--counts 1,4,16,64,256]
 from __future__ import annotations
 
 import argparse
+import json
 import os
+import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+CHILD = r"""
+import json, os, sys
+sys.path.insert(0, __REPO__)
+from bench import build_spark, time_shared_vs_buckets
+from pyspark.sql import functions as F
+from scotty_window_processor_spark.operators import TumblingWindow, WindowMeasure
+
+w_count = int(os.environ["W_COUNT"])
+spark = build_spark(os.environ["CPUS"])
+spark.sparkContext.setLogLevel("ERROR")
+ev = spark.read.parquet(os.environ["SF_DIR"] + "/events.parquet")
+n_rows = ev.count()
+# warm python workers + codegen once
+spark.range(32000).withColumn("g", F.col("id") % 32).groupBy("g").applyInPandas(
+    lambda p: p, "id long, g long"
+).count()
+windows = [
+    # reference shape: random sizes 1-20 min (randomTumbling(N,1,20)),
+    # deterministic here: cycle 1..20 minutes
+    TumblingWindow(WindowMeasure.TIME, ((i % 20) + 1) * 60_000, window_id=i)
+    for i in range(w_count)
+]
+# force_slicing pins the shared-slice tier even below the cost-based
+# chooser's >3-window crossover, so the curve measures slicing vs buckets
+# at EVERY point; verify compares the outputs per instance by a
+# distributed tolerance join
+r = time_shared_vs_buckets(spark, ev, windows, force_slicing=True, verify=True)
+r["n_rows"] = n_rows
+print("RESULT " + json.dumps(r))
+"""
 
 
 def main():
@@ -34,38 +73,24 @@ def main():
     args = ap.parse_args()
     counts = [int(c) for c in args.counts.split(",")]
 
-    from bench import build_spark, time_shared_vs_buckets
-    from pyspark.sql import functions as F
-
-    from scotty_window_processor_spark.operators import TumblingWindow, WindowMeasure
-
-    spark = build_spark(args.cpus)
-    spark.sparkContext.setLogLevel("ERROR")
-    ev = spark.read.parquet(f"{args.sf_dir}/events.parquet")
-    n_rows = ev.count()
-    # warm python workers + codegen once
-    spark.range(32000).withColumn("g", F.col("id") % 32).groupBy("g").applyInPandas(
-        lambda p: p, "id long, g long"
-    ).count()
-
-    def windows_for(w_count):
-        # reference shape: random sizes 1-20 min (randomTumbling(N,1,20)),
-        # deterministic here: cycle 1..20 minutes
-        return [
-            TumblingWindow(WindowMeasure.TIME, ((i % 20) + 1) * 60_000, window_id=i)
-            for i in range(w_count)
-        ]
-
     rows = []
+    n_rows = 0
+    code = CHILD.replace("__REPO__", repr(REPO))
     for w_count in counts:
-        # force_slicing pins the shared-slice tier even below the cost-based
-        # chooser's >3-window crossover, so the curve measures slicing vs
-        # buckets at EVERY point (the engine's default would route W<=3
-        # through the identical Catalyst plan as the bucket arm); verify
-        # compares the two outputs per instance by a distributed tolerance join
-        r = time_shared_vs_buckets(
-            spark, ev, windows_for(w_count), force_slicing=True, verify=True
+        env = dict(
+            os.environ, W_COUNT=str(w_count), CPUS=str(args.cpus), SF_DIR=args.sf_dir
         )
+        proc = subprocess.run(
+            [sys.executable, "-c", code], env=env, capture_output=True, text=True,
+            timeout=1800,
+        )
+        result_lines = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+        if proc.returncode != 0 or not result_lines:
+            print(proc.stdout[-2000:])
+            print(proc.stderr[-2000:])
+            raise SystemExit(f"W={w_count} child failed (rc={proc.returncode})")
+        r = json.loads(result_lines[-1][len("RESULT "):])
+        n_rows = r.pop("n_rows")
         rows.append((w_count, r))
         print(f"W={w_count}: shared {r['shared_sec']:.2f}s (+{r['shared_build_sec']:.2f}s plan)  "
               f"bucket-per-window {r['buckets_sec']:.2f}s (+{r['buckets_build_sec']:.2f}s plan)  "
@@ -81,7 +106,8 @@ def main():
         "chooser's >3-window Catalyst crossover) vs one Catalyst",
         "groupBy(F.window) subplan per window (bucket-per-window); outputs",
         "compared per point by a distributed full-outer join (exact keys +",
-        "counts, double sums within relative 1e-8).",
+        "counts, double sums within relative 1e-8). One fresh subprocess",
+        "per point (inline points contaminate later ones — see module doc).",
         "",
         "Execution and driver-side plan-construction time are reported",
         "separately; a bucket-per-window user pays BOTH per query, and the",

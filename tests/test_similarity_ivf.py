@@ -57,3 +57,29 @@ def test_deterministic_across_runs(spark, emb):
     a = sorted(tuple(r) for r in ann_cosine_ivf(emb, q, k=5).collect())
     b = sorted(tuple(r) for r in ann_cosine_ivf(emb, q, k=5).collect())
     assert a == b and len(a) > 0
+
+
+def test_near_dup_bucket_cap_prunes_dense_region(spark):
+    """max_bucket_size drops LSH buckets denser than the cap from
+    candidate generation: a 30-member identical-vector clique (O(n²)
+    pairs) disappears, a normal near-dup pair elsewhere survives, and
+    cap=None reproduces the uncapped pair set exactly."""
+    from scotty_window_processor_spark.plans.similarity import embedding_near_dup
+
+    dim = 8
+    clique = [(i, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]) for i in range(30)]
+    pair = [
+        (100, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (101, [0.0, 1.0, 0.05, 0.0, 0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(clique + pair, ["vec_id", "embedding"])
+
+    uncapped = embedding_near_dup(df, dim=dim, threshold=0.95)
+    got_unc = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    assert (100, 101) in got_unc
+    assert len(got_unc) == 30 * 29 // 2 + 1  # full clique + the pair
+
+    capped = embedding_near_dup(df, dim=dim, threshold=0.95, max_bucket_size=10)
+    got_cap = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got_cap                      # sparse region intact
+    assert not any(a < 30 and b < 30 for a, b in got_cap)  # clique pruned
