@@ -507,6 +507,45 @@ def q_multimodal_decode(spark, sf_dir):
     return decode_metadata(attach_binary_payload(_docs(spark, sf_dir)))
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Image-resize plumbing (brief: decode / feature-extract / resize /
+    frame-sample): Arrow-batched mapInPandas over the image rows, binary
+    in → resized binary + target dims out, no shuffle. The resizer is the
+    documented deterministic stub (no PIL in this container) behind the
+    same swap seam as the decode codec; the gate hashes the resized bytes
+    so the whole byte-level contract is oracle-checked."""
+    from scotty_window_processor_spark.plans.multimodal import (
+        attach_binary_payload,
+        resize_images,
+    )
+
+    out = resize_images(attach_binary_payload(_docs(spark, sf_dir)))
+    return out.select(
+        "doc_id", "width", "height", F.md5(F.col("resized")).alias("resized_md5")
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Feature-extraction plumbing: binary payload → fixed-dim vector per
+    row in one Arrow-batched mapInPandas stage (where an ONNX/torch
+    session would run per batch on a real cluster). Deterministic integer
+    stub features derived from the decoded metadata keep the gate exact;
+    the vector is CSV-flattened on both sides for a type-stable hash."""
+    from scotty_window_processor_spark.plans.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+
+    out = extract_features(attach_binary_payload(_docs(spark, sf_dir)))
+    return out.select(
+        "doc_id",
+        "media_type",
+        F.concat_ws(
+            ",", F.transform(F.col("features"), lambda x: x.cast("string"))
+        ).alias("features_csv"),
+    )
+
+
 def q_frame_sample(spark, sf_dir):
     """Video frame-sampling fan-out over the decoded metadata (one row per
     sampled frame index, partition-local explode)."""
@@ -1243,6 +1282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_ivf": q_ann_cosine_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
         "stream_tumbling_1h": q_stream_tumbling_1h,
         "stream_session_30m": q_stream_session_30m,
@@ -1844,6 +1885,45 @@ SELECT doc_id,
 FROM t
 """
 
+# resize stub: payload[:max(16, n//4)] at the target dims; documents are
+# ASCII (verified across all SFs), so byte truncation == char truncation
+# and DuckDB's VARCHAR md5 reproduces Spark's binary md5 exactly
+_MULTIMODAL_RESIZE = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         octet_length(encode(text)) AS n,
+         CASE ({_md5_60_sql('doc_id::VARCHAR')} % 3) + 1
+              WHEN 1 THEN 'image/png' WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS media
+  FROM documents
+)
+SELECT doc_id,
+       224 AS width, 224 AS height,
+       md5(substr(text, 1, greatest(16, n // 4))) AS resized_md5
+FROM t WHERE media = 'image/png'
+"""
+
+_MULTIMODAL_FEATURES = f"""
+WITH t AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n,
+         CASE ({_md5_60_sql('doc_id::VARCHAR')} % 3) + 1
+              WHEN 1 THEN 'image/png' WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS media
+  FROM documents
+), d AS (
+  SELECT doc_id, media, n,
+         COALESCE(CASE WHEN media = 'image/png' THEN 64 + n % 640
+                       WHEN media = 'video/mp4' THEN 320 END, 0) AS w0,
+         COALESCE(CASE WHEN media = 'image/png' THEN 64 + (n * 7) % 480
+                       WHEN media = 'video/mp4' THEN 240 END, 0) AS h0,
+         COALESCE(CASE WHEN media = 'video/mp4' THEN 1 + n % 120 END, 0) AS nf0
+  FROM t
+)
+SELECT doc_id, media AS media_type,
+       array_to_string(list_transform(range(16), j ->
+         ((n*(j+1) + w0*(j+2) + h0*(j+3) + nf0*(j+4)) % 997)::VARCHAR), ',') AS features_csv
+FROM d
+"""
+
 
 _STREAM_JOIN_PAIRS = """
 SELECT e.user_id AS user_id, e.event_id AS err_id,
@@ -2009,6 +2089,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_ivf": _ann_ivf_sql(),
         "embedding_near_dup": _near_dup_sql(),
         "multimodal_decode": _MULTIMODAL,
+        "multimodal_resize": _MULTIMODAL_RESIZE,
+        "multimodal_features": _MULTIMODAL_FEATURES,
         "frame_sample": _FRAME_SAMPLE,
         # the streaming replays must emit EXACTLY the batch oracle rows
         # (sentinel-flushed final watermark covers every window)

@@ -89,6 +89,87 @@ def decode_metadata(df: DataFrame, codec=None) -> DataFrame:
     return df.select("doc_id", "payload", "media_type").mapInPandas(run, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("resized", T.BinaryType(), False),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, media_type: str, target_w: int, target_h: int):
+    """STUB: deterministic fake resizer — truncates the payload to a
+    quarter (min 16 bytes), standing in for a real re-encode. Replace
+    with a PIL ``Image.open(...).resize(...)`` here; the Spark contract
+    (batch shape, schema, partition preservation) is what's real."""
+    k = max(16, len(payload) // 4)
+    return payload[:k], target_w, target_h
+
+
+def resize_images(
+    df: DataFrame, target_w: int = 224, target_h: int = 224, resizer=None
+) -> DataFrame:
+    """Arrow-batched image-resize stage over the image rows of a payload
+    table (``attach_binary_payload`` shape): binary in, resized binary +
+    target dims out. mapInPandas, partition-preserving, no shuffle; the
+    ``resizer`` seam takes ``(payload, media_type, target_w, target_h) ->
+    (bytes, w, h)`` exactly like ``decode_metadata``'s codec seam."""
+    rs = resizer if resizer is not None else _fake_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = [rs(p, m, target_w, target_h)
+                        for p, m in zip(pdf["payload"], pdf["media_type"])]
+            out = pd.DataFrame(out_rows, columns=["resized", "width", "height"])
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out[["doc_id", "width", "height", "resized"]]
+
+    images = df.where(F.col("media_type") == "image/png")
+    return images.select("doc_id", "payload", "media_type").mapInPandas(run, RESIZED_SCHEMA)
+
+
+def _fake_features(payload: bytes, media_type: str, dim: int):
+    """STUB: deterministic integer feature vector derived from the decoded
+    metadata — the seam where a CNN / fbank extractor runs on a real
+    cluster. Integer (mod-997) features keep the gate float-free."""
+    w, h, nf, _ = _fake_decode(payload, media_type)
+    n, w0, h0, nf0 = len(payload), w or 0, h or 0, nf or 0
+    return [
+        (n * (j + 1) + w0 * (j + 2) + h0 * (j + 3) + nf0 * (j + 4)) % 997
+        for j in range(dim)
+    ]
+
+
+def extract_features(df: DataFrame, dim: int = 16, extractor=None) -> DataFrame:
+    """Arrow-batched feature-extraction stage: binary payload → fixed-dim
+    vector (``array<long>``). Same plan shape as ``decode_metadata``
+    (mapInPandas, no shuffle); ``extractor(payload, media_type, dim) ->
+    list`` is the swap seam for a real embedding model — on a cluster
+    this is where an ONNX/torch session runs per Arrow batch."""
+    ex = extractor if extractor is not None else _fake_features
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("media_type", T.StringType(), False),
+            T.StructField("features", T.ArrayType(T.LongType()), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [ex(p, m, dim) for p, m in zip(pdf["payload"], pdf["media_type"])]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values,
+                 "media_type": pdf["media_type"].values,
+                 "features": feats}
+            )
+
+    return df.select("doc_id", "payload", "media_type").mapInPandas(run, schema)
+
+
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plan for video rows: explodes sampled frame indices
     (metadata only — decode is stubbed). Shows the fan-out shape: one

@@ -94,3 +94,55 @@ def test_downstream_frame_sample_agnostic_to_codec(spark):
         idxs.sort()
         assert idxs[0] == 0
         assert all(b - a == 5 for a, b in zip(idxs, idxs[1:]))
+
+
+def test_resize_seam_and_contract(spark):
+    """resize_images: image-only rows, no shuffle, and the resizer seam
+    accepts a driver-built closure with zero plan changes."""
+    from scotty_window_processor_spark.plans.multimodal import (
+        attach_binary_payload,
+        resize_images,
+    )
+
+    src = attach_binary_payload(_docs(spark))
+    stub = resize_images(src, target_w=64, target_h=48)
+    rows = stub.collect()
+    n_images = src.where(F.col("media_type") == "image/png").count()
+    assert len(rows) == n_images
+    assert all(r["width"] == 64 and r["height"] == 48 for r in rows)
+    assert "Exchange" not in stub._jdf.queryExecution().executedPlan().toString()
+
+    def real_resizer(payload, media_type, w, h):
+        return payload[::-1], w, h  # "re-encode" differently
+
+    real = resize_images(src, target_w=64, target_h=48, resizer=real_resizer)
+    assert real.schema == stub.schema
+    a = {r["doc_id"]: bytes(r["resized"]) for r in rows}
+    b = {r["doc_id"]: bytes(r["resized"]) for r in real.collect()}
+    assert set(a) == set(b) and all(a[k] != b[k] for k in a if len(a[k]) > 1)
+
+
+def test_extract_features_seam_and_contract(spark):
+    """extract_features: one fixed-dim vector per row, deterministic stub,
+    swap seam takes a driver-built extractor."""
+    from scotty_window_processor_spark.plans.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+
+    src = attach_binary_payload(_docs(spark))
+    out = extract_features(src, dim=8)
+    rows = out.collect()
+    assert len(rows) == src.count()
+    assert all(len(r["features"]) == 8 for r in rows)
+    assert all(0 <= v < 997 for r in rows for v in r["features"])
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+    def real_extractor(payload, media_type, dim):
+        return [len(payload) % (j + 2) for j in range(dim)]
+
+    real = extract_features(src, dim=8, extractor=real_extractor)
+    assert real.schema == out.schema
+    r0 = {r["doc_id"]: list(r["features"]) for r in real.collect()}
+    # the injected extractor's modulus bound proves it ran on the workers
+    assert all(v[j] < j + 2 for v in r0.values() for j in range(8))
