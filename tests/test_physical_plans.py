@@ -173,3 +173,39 @@ def test_many_windows_tier_matches_catalyst_rows(spark):
         )
 
     assert canon(fast) == canon(slow)
+
+
+def test_quantified_cep_is_one_exchange_one_sort(spark):
+    """match_pattern_quantified compiles the whole expansion family (CASE
+    over the longest lead() span) into ONE window-function pass: one hash
+    exchange on the key + one sort feed every expansion's predicate — no
+    joins, no per-expansion subplans, whole-stage codegen around the
+    CASE."""
+    from scotty_window_processor_spark.plans.cep import match_pattern_quantified
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = match_pattern_quantified(
+        ev, key="user_id", ts="ts",
+        steps=[
+            (lambda c: c["event_type"] == "view", 1, 1),
+            (lambda c: c["event_type"] == "click", 1, 3),
+            (lambda c: c["event_type"] == "purchase", 1, 1),
+        ],
+        step_cols=["event_type"], within_ms=7 * 86_400_000, tiebreak="event_id",
+    )
+    plan = plan_of(out)
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort") == 1, plan
+    assert "Join" not in plan and "Union" not in plan
+    # payload pruning: only the needed columns reach the scan
+    assert "ReadSchema" in plan and "props" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_near_dup_bucket_cap_is_broadcast_anti_join(spark):
+    """max_bucket_size prunes hot buckets with a BROADCAST anti-join —
+    the big bucket table must not shuffle for the cap."""
+    from scotty_window_processor_spark.plans.similarity import embedding_near_dup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(embedding_near_dup(emb, max_bucket_size=50))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
