@@ -1249,6 +1249,57 @@ def q_stream_cep_retry_funnel(spark, sf_dir):
     )
 
 
+def q_cep_unbounded_retry(spark, sf_dir):
+    """CEP with UNBOUNDED possessive repetition — PATTERN (view click+
+    purchase), the `A+` shape MATCH_RECOGNIZE users reach for: a view
+    start consumes the maximal contiguous click run, then the first
+    non-click row must be a purchase, all within 7 days. Single-pass
+    gaps-and-islands (one exchange + one sort, no joins, no per-length
+    expansion — plans/cep.py match_pattern_plus)."""
+    _utc(spark)
+    from scotty_window_processor_spark.plans.cep import match_pattern_plus
+
+    return match_pattern_plus(
+        _events(spark, sf_dir), key="user_id", ts="ts",
+        pre=lambda c: c["event_type"] == "view",
+        plus=lambda c: c["event_type"] == "click",
+        post=lambda c: c["event_type"] == "purchase",
+        step_cols=["event_type"], within_ms=_CEP_WITHIN_MS,
+        tiebreak="event_id", min_repeats=1,
+    ).withColumnRenamed("n_mid", "n_clicks")
+
+
+def q_stream_cep_unbounded_retry(spark, sf_dir):
+    """Streaming replay of the unbounded possessive retry funnel
+    (streaming/cep.py cep_stream_plus): a run that reaches the finalized
+    frontier defers until its terminator finalizes or the span bound
+    refutes it, then the start is decided exactly once — emissions equal
+    the batch gaps-and-islands result. Same DuckDB oracle as the batch
+    gate."""
+    from scotty_window_processor_spark.streaming.cep import cep_stream_plus
+
+    def build(stream):
+        return cep_stream_plus(
+            stream, key="user_id", ts="ts",
+            pre=lambda d: d["event_type"].to_numpy() == "view",
+            plus=lambda d: d["event_type"].to_numpy() == "click",
+            post=lambda d: d["event_type"].to_numpy() == "purchase",
+            step_cols=["event_type"], within_ms=_CEP_WITHIN_MS,
+            tiebreak="event_id", min_repeats=1,
+            watermark_delay="30 seconds",
+        ).withColumnRenamed("n_mid", "n_clicks")
+
+    def project(events):
+        return events.select("user_id", "ts", "event_type", "event_id")
+
+    return _replay_events_stream(
+        spark, sf_dir, windows=None, aggs=None,
+        select_cols=["user_id", "w_start", "w_end", "n_clicks"],
+        value=None, project=project, build=build,
+        sentinel_days=8,  # span-bound decidability horizon, as retry funnel
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tumbling_1h": q_tumbling_1h,
@@ -1293,6 +1344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cep_funnel": q_stream_cep_funnel,
         "cep_retry_funnel": q_cep_retry_funnel,
         "stream_cep_retry_funnel": q_stream_cep_retry_funnel,
+        "cep_unbounded_retry": q_cep_unbounded_retry,
+        "stream_cep_unbounded_retry": q_stream_cep_unbounded_retry,
         "stream_interval_join": q_stream_interval_join,
         "stream_global_6h": q_stream_global_6h,
         "stream_sliding_1h_15m": q_stream_sliding_1h_15m,
@@ -2056,6 +2109,30 @@ FROM m WHERE match_len IS NOT NULL
 """
 
 
+# unbounded possessive retry funnel: view click+ purchase. The run
+# terminator is the first non-click position after each row (running min
+# over the UNBOUNDED FOLLOWING frame), fetched back by a pos self-join —
+# the oracle may join; the Spark plan does it join-free with min(struct)
+_CEP_UNBOUNDED = """
+WITH o AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS tms,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+  FROM events
+), nxt AS (
+  SELECT user_id, pos, tms, event_type,
+         min(CASE WHEN event_type <> 'click' THEN pos END)
+           OVER (PARTITION BY user_id ORDER BY pos
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS q
+  FROM o
+)
+SELECT s.user_id, s.tms AS w_start, p.tms AS w_end,
+       CAST(p.pos - s.pos - 1 AS BIGINT) AS n_clicks
+FROM nxt s JOIN o p ON p.user_id = s.user_id AND p.pos = s.q
+WHERE s.event_type = 'view' AND p.event_type = 'purchase'
+  AND p.pos - s.pos - 1 >= 1 AND p.tms - s.tms <= 604800000
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tumbling_1h": _TUMBLING_1H,
@@ -2102,6 +2179,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_cep_funnel": _CEP_FUNNEL,
         "cep_retry_funnel": _CEP_RETRY_FUNNEL,
         "stream_cep_retry_funnel": _CEP_RETRY_FUNNEL,
+        "cep_unbounded_retry": _CEP_UNBOUNDED,
+        "stream_cep_unbounded_retry": _CEP_UNBOUNDED,
         "stream_tumbling_restart": _TUMBLING_1H,
         "stream_payload_restart": _PAYLOAD_KERNEL,
         "stream_live_add": _LIVE_ADD,

@@ -95,7 +95,81 @@ def match_pattern(
     return sel.where(pred).select(*out_cols)
 
 
-# quantified patterns ------------------------------------------------------
+# unbounded (possessive) repetition ----------------------------------------
+
+
+def match_pattern_plus(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    pre: StepPredicate,
+    plus: StepPredicate,
+    post: StepPredicate,
+    step_cols: Sequence[str],
+    within_ms: Optional[int] = None,
+    tiebreak: Optional[str] = None,
+    min_repeats: int = 1,
+) -> DataFrame:
+    """PATTERN (PRE MID+ POST) — or MID* with ``min_repeats=0`` — with
+    UNBOUNDED repetition, per key over (ts, tiebreak) order, AFTER MATCH
+    SKIP TO NEXT ROW.
+
+    Semantics are POSSESSIVE (regex ``++``): a start row matching ``pre``
+    consumes the MAXIMAL contiguous run of ``plus``-rows that follows —
+    no backtracking — then the FIRST non-``plus`` row after the run must
+    match ``post`` and the whole span must fit ``within_ms``. Possessive
+    repetition is what a single gaps-and-islands pass computes exactly
+    and is decidable in the streaming twin; a backtracking greedy (SQL
+    MATCH_RECOGNIZE ``+``) can trade a shorter run for a feasible tail —
+    use ``match_pattern_quantified`` with an explicit bound for that.
+
+    Plan shape: ONE exchange + one sort, NO joins and no per-length
+    expansion — the run terminator is ``min(struct(pos, ...))`` over the
+    (1 FOLLOWING, UNBOUNDED FOLLOWING) frame restricted to non-mid rows
+    (Spark evaluates unbounded-following frames by reverse accumulation,
+    linear per partition). Output: key, w_start/w_end (epoch-ms of the
+    pre/post rows), ``n_mid`` (run length consumed).
+
+    A row satisfying several predicates is fine: every ``pre`` row is an
+    independent start; rows matching both mid and post are consumed into
+    the run (possessive), so the post row is always the first non-mid
+    row after the start."""
+    if min_repeats not in (0, 1):
+        raise ValueError("min_repeats must be 0 (MID*) or 1 (MID+)")
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+
+    needed = list(dict.fromkeys(list(step_cols) + [ts] + ([tiebreak] if tiebreak else [])))
+    view = {c: F.col(c) for c in needed}
+    ts_ms = _epoch_ms(F.col(ts))
+    sel = (
+        df.select(key, *needed)
+        .withColumn("_pos", F.row_number().over(w))
+        .withColumn("_mid", F.coalesce(plus(view).cast("boolean"), F.lit(False)))
+        .withColumn("_pre", F.coalesce(pre(view).cast("boolean"), F.lit(False)))
+        .withColumn("_post", F.coalesce(post(view).cast("boolean"), F.lit(False)))
+        .withColumn("_tms", ts_ms)
+    )
+    nxt = F.min(
+        F.when(~F.col("_mid"), F.struct("_pos", "_tms", "_post"))
+    ).over(w.rowsBetween(1, Window.unboundedFollowing))
+    scored = sel.withColumn("_nxt", nxt).where(
+        F.col("_pre")
+        & F.col("_nxt").isNotNull()
+        & F.col("_nxt._post")
+        & (F.col("_nxt._pos") - F.col("_pos") - 1 >= F.lit(min_repeats))
+        & (
+            F.lit(True)
+            if within_ms is None
+            else F.col("_nxt._tms") - F.col("_tms") <= F.lit(within_ms)
+        )
+    )
+    return scored.select(
+        F.col(key),
+        F.col("_tms").alias("w_start"),
+        F.col("_nxt._tms").alias("w_end"),
+        (F.col("_nxt._pos") - F.col("_pos") - 1).cast("long").alias("n_mid"),
+    )
 
 # a quantified step: (predicate, min_repeats, max_repeats); {1,1} is a plain
 # step, {0,1} an optional one

@@ -354,6 +354,195 @@ def cep_stream_quantified(
     )
 
 
+def make_cep_plus_handler(
+    key_name: str,
+    ts_col: str,
+    pre,
+    plus,
+    post,
+    cols: Sequence[str],
+    within_ms: int,
+    tiebreak: Optional[str],
+    min_repeats: int,
+    out_fields: Sequence[str],
+):
+    """Stateful handler for PATTERN (PRE MID+ POST) with POSSESSIVE
+    unbounded repetition (the streaming twin of
+    plans.cep.match_pattern_plus).
+
+    Decidability: a start's run terminator is the first FINALIZED
+    non-mid row after it. While the run extends to the end of the
+    finalized rows, the start defers — unless the watermark has passed
+    ``start + within_ms``, in which case any future terminator (ts ≥
+    watermark, rows are never late past it) would violate the span
+    bound, refuting the start. So every start is decided exactly once
+    and state is bounded by one ``within_ms`` horizon per key."""
+    sort_cols = ["_ts_ms"] + ([tiebreak] if tiebreak else [])
+    keep = list(dict.fromkeys(list(cols) + ([tiebreak] if tiebreak else [])))
+
+    def handler(
+        key: Tuple[Any], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.exists:
+            buf, seq, decided = pickle.loads(state.get[0])
+        else:
+            buf, seq, decided = None, None, None
+
+        new_parts = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            part = pdf[list(dict.fromkeys(keep + [ts_col]))].copy()
+            part["_ts_ms"] = (
+                part[ts_col].to_numpy().astype("datetime64[ms]").astype("int64")
+            )
+            if ts_col not in keep:
+                part = part.drop(columns=[ts_col])
+            new_parts.append(part)
+        if new_parts:
+            buf = pd.concat(([buf] if buf is not None else []) + new_parts, ignore_index=True)
+
+        wm = state.getCurrentWatermarkMs()
+        rows = []
+        if wm > 0:
+            if buf is not None and len(buf):
+                final_mask = buf["_ts_ms"].to_numpy() < wm
+                newly = buf[final_mask].sort_values(sort_cols, kind="mergesort")
+                buf = buf[~final_mask].reset_index(drop=True)
+                if len(newly):
+                    seq = pd.concat(
+                        ([seq] if seq is not None else []) + [newly], ignore_index=True
+                    )
+                    decided = np.concatenate(
+                        [
+                            decided if decided is not None else np.zeros(0, dtype=bool),
+                            np.zeros(len(newly), dtype=bool),
+                        ]
+                    )
+            if seq is not None and len(seq):
+                n = len(seq)
+                ts_ms = seq["_ts_ms"].to_numpy()
+                pre_f = np.asarray(pre(seq), dtype=bool)
+                mid_f = np.asarray(plus(seq), dtype=bool)
+                post_f = np.asarray(post(seq), dtype=bool)
+                nm = np.nonzero(~mid_f)[0]
+                # first finalized non-mid index after each row (n if none)
+                if len(nm):
+                    j_idx = np.searchsorted(nm, np.arange(n) + 1)
+                    has_j = j_idx < len(nm)
+                    j = np.where(has_j, nm[np.minimum(j_idx, len(nm) - 1)], n)
+                else:
+                    has_j = np.zeros(n, dtype=bool)
+                    j = np.full(n, n, dtype=np.int64)
+                time_refut = wm - ts_ms > within_ms
+
+                active = ~decided
+                # non-pre rows decide (no match) immediately
+                undecided = active & ~has_j & pre_f & ~time_refut
+                matched = np.zeros(n, dtype=bool)
+                cand = active & pre_f & has_j
+                if cand.any():
+                    jj = j[cand]
+                    k = jj - np.nonzero(cand)[0] - 1
+                    ok = (
+                        (k >= min_repeats)
+                        & post_f[jj]
+                        & (ts_ms[jj] - ts_ms[cand] <= within_ms)
+                    )
+                    midx = np.nonzero(cand)[0][ok]
+                    matched[midx] = True
+                    for i in midx.tolist():
+                        rows.append(
+                            [key[0], int(ts_ms[i]), int(ts_ms[j[i]]), int(j[i] - i - 1)]
+                        )
+                decided = ~undecided
+                first_undec = int(np.argmax(undecided)) if undecided.any() else n
+                if first_undec > 0:
+                    seq = seq.iloc[first_undec:].reset_index(drop=True)
+                    decided = decided[first_undec:]
+                if not len(seq):
+                    seq, decided = None, None
+
+        has_buf = buf is not None and len(buf) > 0
+        has_seq = seq is not None and len(seq) > 0
+        if not has_buf and not has_seq:
+            if state.exists:
+                state.remove()
+        else:
+            state.update(
+                (
+                    pickle.dumps(
+                        (
+                            buf if has_buf else None,
+                            seq if has_seq else None,
+                            decided if has_seq else None,
+                        )
+                    ),
+                )
+            )
+            if has_buf:
+                state.setTimeoutTimestamp(max(int(buf["_ts_ms"].min()), wm + 1))
+            else:
+                state.setTimeoutTimestamp(
+                    max(int(seq["_ts_ms"].iloc[0]) + within_ms + 1, wm + 1)
+                )
+
+        if rows:
+            yield pd.DataFrame(rows, columns=list(out_fields))
+
+    return handler
+
+
+def cep_stream_plus(
+    stream_df: DataFrame,
+    key: str,
+    ts: str,
+    pre,
+    plus,
+    post,
+    step_cols: Sequence[str],
+    within_ms: int,
+    tiebreak: Optional[str] = None,
+    min_repeats: int = 1,
+    watermark_delay: str = "30 seconds",
+) -> DataFrame:
+    """Streaming PATTERN (PRE MID+ POST) with possessive unbounded
+    repetition; ``within_ms`` is REQUIRED (it is what makes a run that
+    reaches the finalized frontier eventually decidable — see the
+    handler docstring). Emits (key, w_start, w_end, n_mid) exactly once
+    per decided start, equal to the batch match_pattern_plus result."""
+    if within_ms is None:
+        raise ValueError("cep_stream_plus requires within_ms (tail decidability)")
+    needed = list(
+        dict.fromkeys(list(step_cols) + ([tiebreak] if tiebreak else []) + [key, ts])
+    )
+    pruned = stream_df.select(*needed)
+    fields = [
+        T.StructField(key, stream_df.schema[key].dataType, True),
+        T.StructField("w_start", T.LongType(), False),
+        T.StructField("w_end", T.LongType(), False),
+        T.StructField("n_mid", T.LongType(), False),
+    ]
+    schema = T.StructType(fields)
+    handler = make_cep_plus_handler(
+        key, ts, pre, plus, post, step_cols, within_ms, tiebreak, min_repeats,
+        [f.name for f in fields],
+    )
+    return (
+        pruned.withWatermark(ts, watermark_delay)
+        .groupBy(key)
+        .applyInPandasWithState(
+            handler,
+            outputStructType=schema,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def cep_stream(
     stream_df: DataFrame,
     key: str,

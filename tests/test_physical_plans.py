@@ -209,3 +209,23 @@ def test_near_dup_bucket_cap_is_broadcast_anti_join(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     plan = plan_of(embedding_near_dup(emb, max_bucket_size=50))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_unbounded_plus_cep_is_one_exchange_one_sort(spark):
+    """match_pattern_plus (possessive MID+): row_number and the
+    next-terminator min(struct) ride the SAME window sort — one exchange,
+    one sort, no joins, no per-length expansion."""
+    from scotty_window_processor_spark.plans.cep import match_pattern_plus
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = match_pattern_plus(
+        ev, key="user_id", ts="ts",
+        pre=lambda c: c["event_type"] == "view",
+        plus=lambda c: c["event_type"] == "click",
+        post=lambda c: c["event_type"] == "purchase",
+        step_cols=["event_type"], within_ms=7 * 86_400_000, tiebreak="event_id",
+    )
+    plan = plan_of(out)
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort") == 1, plan
+    assert "Join" not in plan
