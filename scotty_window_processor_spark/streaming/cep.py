@@ -441,7 +441,6 @@ def make_cep_plus_handler(
                 active = ~decided
                 # non-pre rows decide (no match) immediately
                 undecided = active & ~has_j & pre_f & ~time_refut
-                matched = np.zeros(n, dtype=bool)
                 cand = active & pre_f & has_j
                 if cand.any():
                     jj = j[cand]
@@ -452,7 +451,6 @@ def make_cep_plus_handler(
                         & (ts_ms[jj] - ts_ms[cand] <= within_ms)
                     )
                     midx = np.nonzero(cand)[0][ok]
-                    matched[midx] = True
                     for i in midx.tolist():
                         rows.append(
                             [key[0], int(ts_ms[i]), int(ts_ms[j[i]]), int(j[i] - i - 1)]
