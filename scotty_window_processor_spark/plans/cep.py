@@ -176,21 +176,45 @@ def match_pattern_plus(
 QuantStep = "tuple[StepPredicate, int, int]"
 
 
-def expand_quantified(steps, greedy: bool = True):
+MAX_EXPANSIONS = 1024
+"""Hard cap on ∏(max−min+1) across a pattern's quantifiers. Every
+expansion becomes one lead()-window arm in the batch CASE chain and one
+evaluation pass per micro-batch in the streaming handler, so the cost is
+LINEAR in the expansion count — e.g. five steps of ``{0,9}`` would build
+a 100,000-arm plan that Catalyst chokes on long before it runs. 1024
+covers every practical pattern (a funnel with three ``{1,8}`` retries is
+512); patterns past the cap should be rewritten with the unbounded
+possessive matcher (``match_pattern_plus``) or split into stages."""
+
+
+def expand_quantified(steps, greedy: bool = True, max_expansions: int = MAX_EXPANSIONS):
     """Enumerate every fixed-length expansion of a bounded-quantifier
     pattern in MATCH priority order. Returns [(counts, flat)] where
     ``counts[i]`` is step i's repeat count and ``flat`` the per-row step
     indexes. ``greedy=True`` (the MATCH_RECOGNIZE default) prefers more
     repeats, leftmost quantifier first — regex ``{m,n}``; ``greedy=False``
     is the reluctant ``{m,n}?``. Expansion count is ∏(max−min+1): bounded
-    quantifiers by construction, so the lead() family stays finite."""
+    quantifiers by construction, so the lead() family stays finite — and
+    capped at ``max_expansions`` so a pathological pattern fails fast
+    with a clear error instead of building a 100k-arm CASE."""
     from itertools import product
 
     ranges = []
+    n_exp = 1
     for _, lo, hi in steps:
         if lo < 0 or hi < lo:
             raise ValueError(f"bad quantifier bounds {{{lo},{hi}}}")
+        n_exp *= hi - lo + 1
         ranges.append(range(hi, lo - 1, -1) if greedy else range(lo, hi + 1))
+    if n_exp > max_expansions:
+        raise ValueError(
+            f"pattern enumerates {n_exp} fixed-length expansions "
+            f"(∏(max−min+1) over {len(steps)} steps), over the "
+            f"{max_expansions} cap — each expansion is one plan arm, so "
+            "this pattern would not survive planning; rewrite with "
+            "match_pattern_plus (unbounded possessive) or split the "
+            "pattern into stages"
+        )
     out = []
     for counts in product(*ranges):
         flat = [i for i, c in enumerate(counts) for _ in range(c)]

@@ -106,7 +106,11 @@ def detect_hot_keys(
         ]
     f = min(1.0, sample_rows / n)
     counts = df.sample(fraction=f, seed=13).groupBy(key).count()
-    median = counts.approxQuantile("count", [0.5], 0.01)[0] or 0.0
+    # the sample can come back empty right at the max_exact_rows boundary
+    # with a tiny fraction — approxQuantile then returns [], so indexing
+    # [0] first would raise before any `or 0.0` fallback could run
+    q = counts.approxQuantile("count", [0.5], 0.01)
+    median = q[0] if q else 0.0
     if median >= 5:
         thresh = margin * factor * median
     else:

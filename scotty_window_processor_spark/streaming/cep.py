@@ -37,6 +37,23 @@ StepPredicateP = Callable[[pd.DataFrame], Any]
 STATE_SCHEMA = T.StructType([T.StructField("blob", T.BinaryType(), True)])
 
 
+def _pred_bool(p: StepPredicateP, seq: pd.DataFrame):
+    """Evaluate a step predicate and normalize to a plain bool ndarray.
+
+    Null results (NaN from a nullable-column comparison, pd.NA from a
+    BooleanDtype predicate) become False — the same null-is-no-match rule
+    the batch twins apply (``match_pattern_plus`` coalesces, the
+    quantified CASE chain skips null predicates). A bare
+    ``np.asarray(..., dtype=bool)`` would instead turn NaN into True and
+    raise on pd.NA, diverging batch vs streaming."""
+    import numpy as np
+
+    out = p(seq)
+    if isinstance(out, np.ndarray) and out.dtype == bool:
+        return out
+    return pd.Series(out).fillna(False).to_numpy(dtype=bool)
+
+
 def _out_schema(key: str, key_type, L: int, capture: Sequence[str], src: T.StructType) -> T.StructType:
     fields = [
         T.StructField(key, key_type, True),
@@ -104,7 +121,7 @@ def make_cep_handler(
                     import numpy as np
 
                     ok = np.ones(n - L + 1, dtype=bool)
-                    bools = [np.asarray(s(seq), dtype=bool) for s in steps]
+                    bools = [_pred_bool(s, seq) for s in steps]
                     for j in range(L):
                         ok &= bools[j][j : j + n - L + 1]
                     ts_ms = seq["_ts_ms"].to_numpy()
@@ -228,7 +245,7 @@ def make_cep_quant_handler(
             if seq is not None and len(seq):
                 n = len(seq)
                 ts_ms = seq["_ts_ms"].to_numpy()
-                bools = [np.asarray(p(seq), dtype=bool) for p, _, _ in steps]
+                bools = [_pred_bool(p, seq) for p, _, _ in steps]
                 time_refut = wm - ts_ms > within_ms
                 done = decided.copy()
                 undecided = np.zeros(n, dtype=bool)
@@ -245,8 +262,12 @@ def make_cep_quant_handler(
                         m &= ts_ms[L - 1 :] - ts_ms[: n - L + 1] <= within_ms
                         ok[: n - L + 1] = m
                     # cannot evaluate AND cannot refute by time: the start
-                    # must wait (higher-priority expansions block lower)
-                    blocked = ~done & ~evaluable & ~time_refut
+                    # must wait (higher-priority expansions block lower) —
+                    # but a row whose FIRST-step predicate is already false
+                    # can never start this expansion regardless of
+                    # lookahead, so it neither blocks nor pins state
+                    start_ok = bools[flat[0]] if L else np.ones(n, dtype=bool)
+                    blocked = ~done & ~evaluable & ~time_refut & start_ok
                     undecided |= blocked
                     done |= blocked
                     newly_matched = ~done & evaluable & ok
@@ -424,9 +445,9 @@ def make_cep_plus_handler(
             if seq is not None and len(seq):
                 n = len(seq)
                 ts_ms = seq["_ts_ms"].to_numpy()
-                pre_f = np.asarray(pre(seq), dtype=bool)
-                mid_f = np.asarray(plus(seq), dtype=bool)
-                post_f = np.asarray(post(seq), dtype=bool)
+                pre_f = _pred_bool(pre, seq)
+                mid_f = _pred_bool(plus, seq)
+                post_f = _pred_bool(post, seq)
                 nm = np.nonzero(~mid_f)[0]
                 # first finalized non-mid index after each row (n if none)
                 if len(nm):

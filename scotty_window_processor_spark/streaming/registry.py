@@ -86,15 +86,22 @@ def _validate(windows: Sequence[Window]) -> None:
             raise ValueError("registry windows need an explicit window_id")
 
 
-def write_registry(path: str, windows: Sequence[Window]) -> None:
-    """Atomically (tmp + rename) write the full window list."""
+def _write_versioned(path: str, windows: Sequence[Window], version: int) -> None:
     _validate(windows)
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
-        json.dump([window_to_spec(w) for w in windows], f)
+        json.dump(
+            {"version": version, "windows": [window_to_spec(w) for w in windows]}, f
+        )
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+
+
+def write_registry(path: str, windows: Sequence[Window]) -> None:
+    """Atomically (tmp + rename) write the full window list, bumping the
+    embedded version counter past whatever version is on disk."""
+    _write_versioned(path, windows, _load_versioned(path)[0] + 1)
 
 
 def registry_add_window(path: str, window: Window, retries: int = 8) -> None:
@@ -104,27 +111,33 @@ def registry_add_window(path: str, window: Window, retries: int = 8) -> None:
     on `<path>.lock` — which serializes writers ONLY on a single host /
     POSIX-coherent filesystem. On the documented cluster deployment (DFS
     or object store) advisory locks are unreliable or absent, so the
-    write additionally runs an optimistic version check: the registry
-    mtime is re-stat'ed after staging the new contents and the
-    read-modify-write retries from scratch if another writer landed in
-    between. That closes the lost-update window to the stat→rename gap;
-    drivers that may genuinely race adds from multiple hosts should
-    still route them through one coordinator (adds are rare control-plane
-    events — one per human `addWindow` — not a data-plane path). Readers
-    always see a whole file either way (atomic rename)."""
+    write additionally runs an optimistic version check against a
+    monotonic counter EMBEDDED IN THE FILE (not mtime — st_mtime_ns is
+    often second- or millisecond-granular on NFS/object-store mounts,
+    exactly where flock is already unreliable): the registry is re-read
+    after staging the new contents and the read-modify-write retries from
+    scratch, with a short randomized backoff, if another writer bumped
+    the version in between. That closes the lost-update window to the
+    re-read→rename gap; drivers that may genuinely race adds from
+    multiple hosts should still route them through one coordinator (adds
+    are rare control-plane events — one per human `addWindow` — not a
+    data-plane path). Readers always see a whole file either way (atomic
+    rename)."""
     import fcntl
+    import random
 
     with open(f"{path}.lock", "w") as lock:
         fcntl.flock(lock, fcntl.LOCK_EX)
         try:
             for attempt in range(retries):
-                before = _mtime_ns(path)
-                current = _load(path)
+                if attempt:
+                    time.sleep(random.uniform(0.01, 0.05) * attempt)
+                version, current = _load_versioned(path)
                 if any(w.window_id == window.window_id for w in current):
                     raise ValueError(f"window_id {window.window_id} already registered")
-                if _mtime_ns(path) != before:
+                if _load_versioned(path)[0] != version:
                     continue  # concurrent writer between load and check
-                write_registry(path, list(current) + [window])
+                _write_versioned(path, list(current) + [window], version + 1)
                 return
             raise RuntimeError(
                 f"registry_add_window: lost the version race {retries} times "
@@ -134,20 +147,24 @@ def registry_add_window(path: str, window: Window, retries: int = 8) -> None:
             fcntl.flock(lock, fcntl.LOCK_UN)
 
 
-def _mtime_ns(path: str) -> int:
+def _load_versioned(path: str) -> Tuple[int, List[Window]]:
+    """(version, windows); (-1, []) when absent. A bare JSON list (the
+    pre-version file format) reads as version 0."""
     try:
-        return os.stat(path).st_mtime_ns
+        with open(path) as f:
+            text = f.read()
     except FileNotFoundError:
-        return -1
+        return -1, []
+    if not text.strip():
+        return -1, []  # pre-created placeholder (mkstemp) — not yet written
+    doc = json.loads(text)
+    if isinstance(doc, list):  # legacy format
+        return 0, [window_from_spec(d) for d in doc]
+    return int(doc.get("version", 0)), [window_from_spec(d) for d in doc["windows"]]
 
 
 def _load(path: str) -> List[Window]:
-    try:
-        with open(path) as f:
-            specs = json.load(f)
-    except FileNotFoundError:
-        return []
-    return [window_from_spec(d) for d in specs]
+    return _load_versioned(path)[1]
 
 
 # process-level cache: path -> (last_stat_wall, mtime_ns, windows)

@@ -297,3 +297,162 @@ def test_stream_quant_randomized_parity(spark, seed):
         greedy=rng.choice([True, False]), queryname=f"cepq_rand_{seed}",
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round 5: null-predicate normalization, early start refutation, and the
+# expansion-count cap
+
+
+def test_pred_bool_normalizes_nulls():
+    """_pred_bool must map every null flavour a user predicate can emit
+    (float NaN from nullable arithmetic, pd.NA from BooleanDtype, None in
+    an object series) to False — the batch twins' null-is-no-match rule —
+    where a bare np.asarray(..., dtype=bool) turns NaN into True and
+    raises on pd.NA."""
+    import numpy as np
+
+    from scotty_window_processor_spark.streaming.cep import _pred_bool
+
+    seq = pd.DataFrame({"x": [1.0, 2.0, 3.0]})
+    cases = [
+        (lambda d: np.array([True, False, True]), [True, False, True]),
+        (lambda d: pd.Series([True, float("nan"), 1.0]), [True, False, True]),
+        (lambda d: pd.array([True, pd.NA, False], dtype="boolean"), [True, False, False]),
+        (lambda d: pd.Series([True, None, False], dtype="object"), [True, False, False]),
+    ]
+    for pred, want in cases:
+        got = _pred_bool(pred, seq)
+        assert got.dtype == bool and got.tolist() == want
+
+
+def test_stream_quant_null_predicate_parity(spark):
+    """A predicate built on pandas string ops (.str.contains) yields NaN
+    for null input rows; pre-fix the streaming handler cast NaN to True,
+    turning every null row into a wildcard that matched ALL steps — the
+    batch CASE chain treats the null predicate as no-match. Both engines
+    must agree: the null row breaks the run, key 1 produces no match."""
+    rows = [
+        (1, 1_000, "a", 1), (1, 61_000, None, 2), (1, 121_000, "b", 3),
+        (1, 181_000, "c", 4),
+        (2, 1_000, "a", 5), (2, 61_000, "b", 6), (2, 121_000, "c", 7),
+    ]
+    steps_contains = [
+        ((lambda ch: lambda d: d["event_type"].str.contains(ch))(ch), lo, hi)
+        for ch, lo, hi in PAT_RETRY
+    ]
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="cepq_null_src_")
+    ckpt = tempfile.mkdtemp(prefix="cepq_null_ckpt_")
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts_ms", "event_type", "event_id"])
+    pdf["ts"] = pd.to_datetime(pdf.pop("ts_ms"), unit="ms")
+    batch_df = spark.createDataFrame(pdf)
+
+    sent = pdf.iloc[:1].copy()
+    sent["user_id"] = -1
+    sent["ts"] = pdf["ts"].max() + pd.Timedelta(days=365)
+    srt = pdf.sort_values("ts", kind="mergesort")
+    chunks = [srt.iloc[:3], srt.iloc[3:], sent]
+    for i, part in enumerate(chunks):
+        tbl = pa.Table.from_pandas(part, preserve_index=False)
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("ts"), "ts",
+            tbl.column("ts").cast(pa.timestamp("us")),
+        )
+        pq.write_table(tbl, f"{src}/{i:04d}.parquet")
+        os.utime(f"{src}/{i:04d}.parquet", (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(batch_df.schema).option("maxFilesPerTrigger", 1)
+        .parquet(src).withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    result = cep_stream_quantified(
+        stream, key="user_id", ts="ts", steps=steps_contains,
+        step_cols=["event_type"], within_ms=600_000, tiebreak="event_id",
+        greedy=True, watermark_delay="1 second",
+    )
+    q = (
+        result.writeStream.format("memory").queryName("cepq_nullpred")
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        tuple(r)
+        for r in spark.table("cepq_nullpred").where(F.col("user_id") >= 0).collect()
+    )
+    want = _run_batch(batch_df, PAT_RETRY, within=600_000, greedy=True)
+    assert got == want
+    assert [m[0] for m in want] == [2]  # key 1's null row must break the run
+
+
+def test_quant_nonstart_rows_do_not_pin_state():
+    """Finalized rows whose FIRST-step predicate is false can never start
+    any expansion — they must be decided immediately (not 'blocked' on an
+    unevaluable longer expansion), so a key whose tail is all non-start
+    rows drains its state instead of re-arming timers until within_ms."""
+    import numpy as np
+
+    from scotty_window_processor_spark.plans.cep import expand_quantified
+    from scotty_window_processor_spark.streaming.cep import make_cep_quant_handler
+    from test_quiesce import FakeGroupState
+
+    steps = _steps_np(PAT_RETRY)
+    handler = make_cep_quant_handler(
+        "user_id", "ts", steps, ["event_type"], 600_000, None,
+        ["user_id", "w_start", "w_end", "match_len", "s0_n", "s1_n", "s2_n"],
+        expand_quantified(steps, greedy=True),
+    )
+
+    def feed(state, rows_ms_types):
+        if rows_ms_types:
+            pdf = pd.DataFrame(
+                {
+                    "ts": pd.to_datetime([m for m, _ in rows_ms_types], unit="ms"),
+                    "event_type": [t for _, t in rows_ms_types],
+                }
+            )
+            parts = iter([pdf])
+        else:
+            parts = iter([])
+        return list(handler(("u1",), parts, state))
+
+    # three 'd' rows: no step's predicate accepts them, and n < L for the
+    # longest expansion (a b b b c), so pre-fix they were all 'blocked'
+    st = FakeGroupState(wm=0)
+    feed(st, [(1_000, "d"), (2_000, "d"), (3_000, "d")])
+    assert st.exists  # buffered, watermark hasn't finalized them yet
+    st._wm = 4_000
+    out = feed(st, [])
+    assert out == []
+    assert not st.exists and st.removed  # decided non-starts: state drains
+
+
+def test_expansion_cap_rejects_pathological_pattern(spark):
+    """Five steps of {0,9} is 10^5 expansions = 10^5 plan arms; both the
+    batch matcher and the streaming twin must refuse fast with a clear
+    error instead of building the plan."""
+    from scotty_window_processor_spark.plans.cep import (
+        MAX_EXPANSIONS,
+        expand_quantified,
+        match_pattern_quantified,
+    )
+
+    bad_np = [((lambda d: d["event_type"].to_numpy() == "a"), 0, 9)] * 5
+    with pytest.raises(ValueError, match="cap"):
+        expand_quantified(bad_np)
+    df = _mk_events(spark, [(1, 1000, "a", 1)])
+    with pytest.raises(ValueError, match="cap"):
+        match_pattern_quantified(
+            df, key="user_id", ts="ts",
+            steps=_steps_col([("a", 0, 9)] * 5),
+            step_cols=["event_type"], within_ms=600_000,
+        )
+    with pytest.raises(ValueError, match="cap"):
+        cep_stream_quantified(
+            spark.readStream.format("rate").load(), key="value", ts="timestamp",
+            steps=bad_np, step_cols=["event_type"], within_ms=600_000,
+        )
+    # the cap is raisable for users who really want a wider pattern
+    assert len(expand_quantified(_steps_np([("a", 0, 9)] * 2))) <= MAX_EXPANSIONS
