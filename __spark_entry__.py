@@ -1260,6 +1260,73 @@ def q_stream_cep_retry_funnel(spark, sf_dir):
     )
 
 
+_CEP_CAPTURE_STEPS_COL = [
+    (lambda c: c["event_type"] == "view", 1, 1),
+    (lambda c: c["event_type"] == "click", 1, 3),
+    (lambda c: c["event_type"] == "purchase", 1, 1),
+]
+_CEP_CAPTURE_STEPS_NP = [
+    (lambda d: d["event_type"].to_numpy() == "view", 1, 1),
+    (lambda d: d["event_type"].to_numpy() == "click", 1, 3),
+    (lambda d: d["event_type"].to_numpy() == "purchase", 1, 1),
+]
+
+
+def q_cep_retry_funnel_capture(spark, sf_dir):
+    """CEP CAPTURES UNDER QUANTIFIERS (MATCH_RECOGNIZE MEASURES): the
+    retry funnel (view → click{1,3} → purchase, greedy, 7-day span) with
+    per-consumed-row payload recovery — one output row per matched source
+    row carrying offset / step_idx / repeat_idx and the captured
+    event_type + event_id. Join-free: the captured values ride the SAME
+    lead() family the matcher builds (arrays in the CASE chain), then one
+    posexplode — no second sort, no self-join back to the source
+    (plans/cep.py match_pattern_quantified_rows)."""
+    _utc(spark)
+    from scotty_window_processor_spark.plans.cep import (
+        match_pattern_quantified_rows,
+    )
+
+    return match_pattern_quantified_rows(
+        _events(spark, sf_dir), key="user_id", ts="ts",
+        steps=_CEP_CAPTURE_STEPS_COL, step_cols=["event_type"],
+        capture=["event_type", "event_id"],
+        within_ms=_CEP_WITHIN_MS, tiebreak="event_id", greedy=True,
+    )
+
+
+def q_stream_cep_retry_funnel_capture(spark, sf_dir):
+    """Streaming twin of the capture gate: cep_stream_quantified emits
+    the match stream with capture ARRAYS from the key's finalized row
+    sequence (no extra state), and the offset/step_idx/repeat_idx explode
+    is a stateless projection over the append stream — same rows, same
+    oracle as the batch gate."""
+    from scotty_window_processor_spark.streaming.cep import (
+        cep_stream_quantified_rows,
+    )
+
+    def build(stream):
+        return cep_stream_quantified_rows(
+            stream, key="user_id", ts="ts",
+            steps=_CEP_CAPTURE_STEPS_NP, step_cols=["event_type"],
+            within_ms=_CEP_WITHIN_MS, capture=["event_type", "event_id"],
+            tiebreak="event_id", greedy=True, watermark_delay="30 seconds",
+        )
+
+    def project(events):
+        return events.select("user_id", "ts", "event_type", "event_id")
+
+    return _replay_events_stream(
+        spark, sf_dir, windows=None, aggs=None,
+        select_cols=[
+            "user_id", "w_start", "w_end", "match_len", "s0_n", "s1_n",
+            "s2_n", "offset", "step_idx", "repeat_idx", "event_type",
+            "event_id",
+        ],
+        value=None, project=project, build=build,
+        sentinel_days=8,
+    )
+
+
 def q_cep_unbounded_retry(spark, sf_dir):
     """CEP with UNBOUNDED possessive repetition — PATTERN (view click+
     purchase), the `A+` shape MATCH_RECOGNIZE users reach for: a view
@@ -1366,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cep_funnel": q_stream_cep_funnel,
         "cep_retry_funnel": q_cep_retry_funnel,
         "stream_cep_retry_funnel": q_stream_cep_retry_funnel,
+        "cep_retry_funnel_capture": q_cep_retry_funnel_capture,
         "cep_unbounded_retry": q_cep_unbounded_retry,
         "stream_cep_unbounded_retry": q_stream_cep_unbounded_retry,
         "stream_interval_join": q_stream_interval_join,
@@ -1373,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding_1h_15m": q_stream_sliding_1h_15m,
         "stream_count_tumbling_25": q_stream_count_tumbling_25,
         "stream_distinct_6h": q_stream_distinct_6h,
+        "stream_cep_retry_funnel_capture": q_stream_cep_retry_funnel_capture,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_features": q_multimodal_features,
     }
@@ -2129,6 +2198,59 @@ SELECT user_id, t0 AS w_start,
 FROM m WHERE match_len IS NOT NULL
 """
 
+# capture variant: the oracle recovers per-consumed-row payloads by a
+# positional self-join (rn BETWEEN start AND start+len-1) — the Spark
+# plan does it join-free (capture arrays inside the lead()-family CASE,
+# then one posexplode). step attribution for (view, click{1,3},
+# purchase): offset 0 is step 0, the last offset is step 2, everything
+# between is step 1 with repeat_idx = offset-1.
+_CEP_RETRY_CAPTURE = """
+WITH r AS (
+  SELECT user_id, event_type, event_id, epoch_ms(ts) AS tms,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+  FROM events
+), o AS (
+  SELECT user_id, pos, tms AS t0, event_type AS y0,
+         lead(event_type, 1) OVER w AS y1, lead(tms, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS y2, lead(tms, 2) OVER w AS t2,
+         lead(event_type, 3) OVER w AS y3, lead(tms, 3) OVER w AS t3,
+         lead(event_type, 4) OVER w AS y4, lead(tms, 4) OVER w AS t4
+  FROM r WINDOW w AS (PARTITION BY user_id ORDER BY pos)
+), m AS (
+  SELECT user_id, pos, t0, t2, t3, t4,
+    CASE
+      WHEN y0='view' AND y1='click' AND y2='click' AND y3='click'
+           AND y4='purchase' AND t4 - t0 <= 604800000 THEN 5
+      WHEN y0='view' AND y1='click' AND y2='click'
+           AND y3='purchase' AND t3 - t0 <= 604800000 THEN 4
+      WHEN y0='view' AND y1='click'
+           AND y2='purchase' AND t2 - t0 <= 604800000 THEN 3
+    END AS match_len
+  FROM o
+), mm AS (
+  SELECT user_id, pos, t0 AS w_start,
+         CASE match_len WHEN 5 THEN t4 WHEN 4 THEN t3 ELSE t2 END AS w_end,
+         match_len
+  FROM m WHERE match_len IS NOT NULL
+)
+SELECT mm.user_id, mm.w_start, mm.w_end,
+       CAST(mm.match_len AS BIGINT) AS match_len,
+       CAST(1 AS BIGINT) AS s0_n,
+       CAST(mm.match_len - 2 AS BIGINT) AS s1_n,
+       CAST(1 AS BIGINT) AS s2_n,
+       CAST(e.pos - mm.pos AS BIGINT) AS offset,
+       CAST(CASE WHEN e.pos = mm.pos THEN 0
+                 WHEN e.pos = mm.pos + mm.match_len - 1 THEN 2
+                 ELSE 1 END AS BIGINT) AS step_idx,
+       CAST(CASE WHEN e.pos = mm.pos THEN 0
+                 WHEN e.pos = mm.pos + mm.match_len - 1 THEN 0
+                 ELSE e.pos - mm.pos - 1 END AS BIGINT) AS repeat_idx,
+       e.event_type, e.event_id
+FROM mm JOIN r e
+  ON e.user_id = mm.user_id
+ AND e.pos BETWEEN mm.pos AND mm.pos + mm.match_len - 1
+"""
+
 
 # unbounded possessive retry funnel: view click+ purchase. The run
 # terminator is the first non-click position after each row (running min
@@ -2200,6 +2322,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_cep_funnel": _CEP_FUNNEL,
         "cep_retry_funnel": _CEP_RETRY_FUNNEL,
         "stream_cep_retry_funnel": _CEP_RETRY_FUNNEL,
+        "cep_retry_funnel_capture": _CEP_RETRY_CAPTURE,
+        "stream_cep_retry_funnel_capture": _CEP_RETRY_CAPTURE,
         "cep_unbounded_retry": _CEP_UNBOUNDED,
         "stream_cep_unbounded_retry": _CEP_UNBOUNDED,
         "stream_tumbling_restart": _TUMBLING_1H,

@@ -234,6 +234,7 @@ def match_pattern_quantified(
     within_ms: Optional[int] = None,
     tiebreak: Optional[str] = None,
     greedy: bool = True,
+    capture: Sequence[str] = (),
 ) -> DataFrame:
     """Bounded-quantifier pattern matching: ``steps`` is a sequence of
     ``(predicate, min, max)`` triples — PATTERN (S0{m0,n0} … Sk{mk,nk}),
@@ -244,10 +245,15 @@ def match_pattern_quantified(
 
     Returns one row per match: ``key``, ``w_start``/``w_end`` (epoch-ms
     of the first/last matched row), ``match_len``, and ``s{i}_n`` — how
-    many rows step i consumed (0 for skipped optional steps). Captures
-    are not supported under quantifiers (per-step column positions are
-    ambiguous across expansions); use the counts + a self-join when the
-    payload is needed.
+    many rows step i consumed (0 for skipped optional steps). Per-step
+    FIXED column captures (the fixed matcher's ``s{j}_{c}``) stay
+    unsupported — positions are ambiguous across expansions — but
+    ``capture=[cols]`` emits ``s_{c}`` as an ARRAY holding column c of
+    every consumed row in match order (length ``match_len``): the values
+    already ride the lead() family the matcher builds, so captures cost
+    zero extra shuffles/joins. ``match_pattern_quantified_rows`` explodes
+    that to MATCH_RECOGNIZE-MEASURES-style one-row-per-consumed-row with
+    step attribution.
 
     Plan shape is the fixed matcher's: ONE exchange + one sort feed a
     single lead() family sized by the LONGEST expansion; every
@@ -256,7 +262,7 @@ def match_pattern_quantified(
     the whole pattern stays in whole-stage codegen with no joins."""
     expansions = expand_quantified(steps, greedy)
     L_max = max(len(flat) for _, flat in expansions)
-    needed = list(dict.fromkeys(list(step_cols) + [ts]))
+    needed = list(dict.fromkeys(list(step_cols) + list(capture) + [ts]))
     order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
     w = Window.partitionBy(key).orderBy(*order)
 
@@ -277,6 +283,7 @@ def match_pattern_quantified(
     first_ms = _epoch_ms(F.col(ts))
     len_chain = end_chain = None
     count_chains: list = [None] * len(steps)
+    cap_chains: Dict[str, Column] = {}
     for counts, flat in expansions:
         L = len(flat)
         pred = steps[flat[0]][0](views[0])
@@ -285,16 +292,23 @@ def match_pattern_quantified(
         last_ms = _epoch_ms(views[L - 1][ts])
         if within_ms is not None:
             pred = pred & (last_ms - first_ms <= F.lit(within_ms))
+        cap_arrs = {
+            c: F.array(*[views[j][c] for j in range(L)]) for c in capture
+        }
         if len_chain is None:
             len_chain = F.when(pred, F.lit(L))
             end_chain = F.when(pred, last_ms)
             count_chains = [F.when(pred, F.lit(c)) for c in counts]
+            cap_chains = {c: F.when(pred, a) for c, a in cap_arrs.items()}
         else:
             len_chain = len_chain.when(pred, F.lit(L))
             end_chain = end_chain.when(pred, last_ms)
             count_chains = [
                 ch.when(pred, F.lit(c)) for ch, c in zip(count_chains, counts)
             ]
+            cap_chains = {
+                c: cap_chains[c].when(pred, a) for c, a in cap_arrs.items()
+            }
 
     return sel.where(len_chain.isNotNull()).select(
         F.col(key),
@@ -305,4 +319,72 @@ def match_pattern_quantified(
             count_chains[i].cast("long").alias(f"s{i}_n")
             for i in range(len(steps))
         ],
+        *[cap_chains[c].alias(f"s_{c}") for c in capture],
     )
+
+
+def quantified_rows(
+    matches: DataFrame, n_steps: int, capture: Sequence[str]
+) -> DataFrame:
+    """Explode a quantified match (with ``capture`` arrays) to one row
+    per CONSUMED source row — MATCH_RECOGNIZE MEASURES usability: each
+    output row carries the match identity (key, w_start, w_end,
+    match_len, per-step counts), its 0-based ``offset`` inside the match,
+    the step that consumed it (``step_idx``) and the repeat index within
+    that step (``repeat_idx``), plus the captured columns under their
+    original names.
+
+    Stateless projection over the match relation: works identically on
+    the batch matcher's output and on ``cep_stream_quantified``'s append
+    stream (one posexplode; step attribution is a prefix-sum CASE over
+    the ``s{i}_n`` columns — no joins, no extra shuffle, no state)."""
+    if not capture:
+        raise ValueError("quantified_rows needs at least one capture column")
+    zipped = F.arrays_zip(*[F.col(f"s_{c}").alias(c) for c in capture])
+    passthrough = [
+        c for c in matches.columns if not c.startswith("s_")
+    ]
+    ex = matches.select(
+        *passthrough, F.posexplode(zipped).alias("offset", "_z")
+    )
+    step_chain = rep_chain = None
+    cum: Column = F.lit(0)
+    for i in range(n_steps):
+        upper = cum + F.col(f"s{i}_n")
+        cond = F.col("offset") < upper
+        if step_chain is None:
+            step_chain = F.when(cond, F.lit(i))
+            rep_chain = F.when(cond, F.col("offset") - cum)
+        else:
+            step_chain = step_chain.when(cond, F.lit(i))
+            rep_chain = rep_chain.when(cond, F.col("offset") - cum)
+        cum = upper
+    return ex.select(
+        *passthrough,
+        F.col("offset").cast("long").alias("offset"),
+        step_chain.cast("long").alias("step_idx"),
+        rep_chain.cast("long").alias("repeat_idx"),
+        *[F.col("_z")[c].alias(c) for c in capture],
+    )
+
+
+def match_pattern_quantified_rows(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    steps: Sequence,
+    step_cols: Sequence[str],
+    capture: Sequence[str],
+    within_ms: Optional[int] = None,
+    tiebreak: Optional[str] = None,
+    greedy: bool = True,
+) -> DataFrame:
+    """Quantified matching with per-consumed-row captures: the batch
+    matcher's array captures exploded by ``quantified_rows``. One lead()
+    family + one posexplode — no self-join back to the source."""
+    m = match_pattern_quantified(
+        df, key=key, ts=ts, steps=steps, step_cols=step_cols,
+        within_ms=within_ms, tiebreak=tiebreak, greedy=greedy,
+        capture=capture,
+    )
+    return quantified_rows(m, len(steps), capture)

@@ -182,6 +182,7 @@ def make_cep_quant_handler(
     tiebreak: Optional[str],
     out_fields: Sequence[str],
     expansions: Sequence,
+    capture: Sequence[str] = (),
 ):
     """Stateful handler for bounded-quantifier patterns (pure function of
     config — shippable via --py-files).
@@ -196,9 +197,16 @@ def make_cep_quant_handler(
     watermark). Each start is therefore decided exactly once, emitting at
     most one match; state keeps the unfinalized buffer plus finalized
     rows from the FIRST undecided start onward, which the span bound
-    caps at the rows inside one ``within_ms`` horizon per key."""
+    caps at the rows inside one ``within_ms`` horizon per key.
+
+    ``capture`` columns are emitted as per-match ARRAYS (column value of
+    every consumed row in match order) — the streaming twin of the batch
+    matcher's ``s_{c}`` capture arrays; the rows are already in the
+    key's finalized sequence, so captures cost no extra state."""
     sort_cols = ["_ts_ms"] + ([tiebreak] if tiebreak else [])
-    keep = list(dict.fromkeys(list(cols) + ([tiebreak] if tiebreak else [])))
+    keep = list(
+        dict.fromkeys(list(cols) + list(capture) + ([tiebreak] if tiebreak else []))
+    )
     n_steps = len(steps)
 
     def handler(
@@ -278,6 +286,7 @@ def make_cep_quant_handler(
                     L = len(flat)
                     rows.append(
                         [key[0], int(ts_ms[i]), int(ts_ms[i + L - 1]), L, *counts]
+                        + [seq[c].iloc[i : i + L].tolist() for c in capture]
                     )
                 decided = ~undecided
                 first_undec = int(np.argmax(undecided)) if undecided.any() else n
@@ -329,6 +338,7 @@ def cep_stream_quantified(
     tiebreak: Optional[str] = None,
     greedy: bool = True,
     watermark_delay: str = "30 seconds",
+    capture: Sequence[str] = (),
 ) -> DataFrame:
     """Streaming twin of ``plans.cep.match_pattern_quantified``: bounded
     quantifiers ``(predicate, min, max)`` per step, greedy by default,
@@ -348,19 +358,29 @@ def cep_stream_quantified(
 
     expansions = expand_quantified(steps, greedy)
     needed = list(
-        dict.fromkeys(list(step_cols) + ([tiebreak] if tiebreak else []) + [key, ts])
+        dict.fromkeys(
+            list(step_cols) + list(capture)
+            + ([tiebreak] if tiebreak else []) + [key, ts]
+        )
     )
     pruned = stream_df.select(*needed)
-    fields = [
-        T.StructField(key, stream_df.schema[key].dataType, True),
-        T.StructField("w_start", T.LongType(), False),
-        T.StructField("w_end", T.LongType(), False),
-        T.StructField("match_len", T.LongType(), False),
-    ] + [T.StructField(f"s{i}_n", T.LongType(), False) for i in range(len(steps))]
+    fields = (
+        [
+            T.StructField(key, stream_df.schema[key].dataType, True),
+            T.StructField("w_start", T.LongType(), False),
+            T.StructField("w_end", T.LongType(), False),
+            T.StructField("match_len", T.LongType(), False),
+        ]
+        + [T.StructField(f"s{i}_n", T.LongType(), False) for i in range(len(steps))]
+        + [
+            T.StructField(f"s_{c}", T.ArrayType(stream_df.schema[c].dataType), True)
+            for c in capture
+        ]
+    )
     schema = T.StructType(fields)
     handler = make_cep_quant_handler(
         key, ts, steps, step_cols, within_ms, tiebreak,
-        [f.name for f in fields], expansions,
+        [f.name for f in fields], expansions, capture=capture,
     )
     return (
         pruned.withWatermark(ts, watermark_delay)
@@ -373,6 +393,33 @@ def cep_stream_quantified(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def cep_stream_quantified_rows(
+    stream_df: DataFrame,
+    key: str,
+    ts: str,
+    steps: Sequence,
+    step_cols: Sequence[str],
+    within_ms: int,
+    capture: Sequence[str],
+    tiebreak: Optional[str] = None,
+    greedy: bool = True,
+    watermark_delay: str = "30 seconds",
+) -> DataFrame:
+    """Streaming twin of ``plans.cep.match_pattern_quantified_rows``:
+    the quantified match stream with capture arrays, exploded to one row
+    per consumed source row (offset / step_idx / repeat_idx attribution).
+    The explode is a STATELESS projection over the append-mode match
+    stream, so exactly-once emission carries through unchanged."""
+    from ..plans.cep import quantified_rows
+
+    m = cep_stream_quantified(
+        stream_df, key=key, ts=ts, steps=steps, step_cols=step_cols,
+        within_ms=within_ms, tiebreak=tiebreak, greedy=greedy,
+        watermark_delay=watermark_delay, capture=capture,
+    )
+    return quantified_rows(m, len(steps), capture)
 
 
 def make_cep_plus_handler(

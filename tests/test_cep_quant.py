@@ -456,3 +456,114 @@ def test_expansion_cap_rejects_pathological_pattern(spark):
         )
     # the cap is raisable for users who really want a wider pattern
     assert len(expand_quantified(_steps_np([("a", 0, 9)] * 2))) <= MAX_EXPANSIONS
+
+
+def test_capture_rows_batch_known_attribution(spark):
+    """Join-free captures: one row per consumed source row with exact
+    offset / step_idx / repeat_idx attribution and the captured payload,
+    for a greedy 2-click match."""
+    from scotty_window_processor_spark.plans.cep import (
+        match_pattern_quantified_rows,
+    )
+
+    rows = [
+        (1, 1000, "a", 10), (1, 2000, "b", 11), (1, 3000, "b", 12),
+        (1, 4000, "c", 13),
+        (2, 1000, "a", 20), (2, 2000, "c", 21),  # no b: no match
+    ]
+    got = sorted(
+        tuple(r)
+        for r in match_pattern_quantified_rows(
+            _mk_events(spark, rows), key="user_id", ts="ts",
+            steps=_steps_col(PAT_RETRY), step_cols=["event_type"],
+            capture=["event_type", "event_id"],
+            within_ms=600_000, tiebreak="event_id",
+        ).select(
+            "user_id", "offset", "step_idx", "repeat_idx", "event_type",
+            "event_id",
+        ).collect()
+    )
+    assert got == [
+        (1, 0, 0, 0, "a", 10),
+        (1, 1, 1, 0, "b", 11),
+        (1, 2, 1, 1, "b", 12),
+        (1, 3, 2, 0, "c", 13),
+    ]
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_capture_rows_stream_parity(spark, seed):
+    """Streaming capture arrays + the stateless explode must produce
+    exactly the batch capture rows on randomized inputs."""
+    import random
+    import tempfile
+
+    from scotty_window_processor_spark.plans.cep import (
+        match_pattern_quantified_rows,
+    )
+    from scotty_window_processor_spark.streaming.cep import (
+        cep_stream_quantified_rows,
+    )
+
+    rng = random.Random(seed)
+    n = rng.randint(20, 40)
+    rows = [
+        (rng.randint(1, 3), rng.randint(0, 150) * 1_000, rng.choice("abc"), i)
+        for i in range(n)
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts_ms", "event_type", "event_id"])
+    pdf["ts"] = pd.to_datetime(pdf.pop("ts_ms"), unit="ms")
+    batch_df = spark.createDataFrame(pdf)
+    cols = [
+        "user_id", "w_start", "w_end", "match_len", "s0_n", "s1_n", "s2_n",
+        "offset", "step_idx", "repeat_idx", "event_type", "event_id",
+    ]
+    want = sorted(
+        tuple(r)
+        for r in match_pattern_quantified_rows(
+            batch_df, key="user_id", ts="ts", steps=_steps_col(PAT_RETRY),
+            step_cols=["event_type"], capture=["event_type", "event_id"],
+            within_ms=60_000, tiebreak="event_id",
+        ).select(*cols).collect()
+    )
+
+    src = tempfile.mkdtemp(prefix="cepq_cap_src_")
+    ckpt = tempfile.mkdtemp(prefix="cepq_cap_ckpt_")
+    sent = pdf.iloc[:1].copy()
+    sent["user_id"] = -1
+    sent["ts"] = pdf["ts"].max() + pd.Timedelta(days=365)
+    srt = pdf.sort_values("ts", kind="mergesort")
+    k = rng.randint(2, 5)
+    chunk = (len(srt) + k - 1) // k
+    chunks = [srt.iloc[i * chunk : (i + 1) * chunk] for i in range(k)] + [sent]
+    for i, part in enumerate(c for c in chunks if len(c)):
+        tbl = pa.Table.from_pandas(part, preserve_index=False)
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("ts"), "ts",
+            tbl.column("ts").cast(pa.timestamp("us")),
+        )
+        pq.write_table(tbl, f"{src}/{i:04d}.parquet")
+        os.utime(f"{src}/{i:04d}.parquet", (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(batch_df.schema).option("maxFilesPerTrigger", 1)
+        .parquet(src).withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    result = cep_stream_quantified_rows(
+        stream, key="user_id", ts="ts", steps=_steps_np(PAT_RETRY),
+        step_cols=["event_type"], within_ms=60_000,
+        capture=["event_type", "event_id"], tiebreak="event_id",
+        watermark_delay="1 second",
+    )
+    qn = f"cepq_cap_{seed}"
+    q = (
+        result.writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        tuple(r)
+        for r in spark.table(qn).where(F.col("user_id") >= 0).select(*cols).collect()
+    )
+    assert got == want
