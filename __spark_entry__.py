@@ -568,10 +568,67 @@ def q_frame_sample(spark, sf_dir):
 _STREAM_SEQ = [0]
 
 
+def _ts_span_ms(df, ts="ts"):
+    """(min, max) epoch-ms of the ts column — one cheap partial-combine
+    aggregation, no driver-side data movement beyond two longs."""
+    row = df.agg(
+        F.unix_millis(F.min(ts).cast("timestamp")).alias("mn"),
+        F.unix_millis(F.max(ts).cast("timestamp")).alias("mx"),
+    ).collect()[0]
+    return row["mn"], row["mx"]
+
+
+def _sentinel_frame(batch, sentinel_ts):
+    """One far-future watermark-advancer row with the batch's schema:
+    user_id=-1, ts=sentinel, value zeroed, other columns from an
+    arbitrary source row (filtered out of the gate output by key)."""
+    cols = []
+    for f in batch.schema.fields:
+        if f.name == "user_id":
+            cols.append(F.lit(-1).cast(f.dataType).alias(f.name))
+        elif f.name == "ts":
+            cols.append(F.lit(sentinel_ts).cast(f.dataType).alias(f.name))
+        elif f.name == "value":
+            cols.append(F.lit(0.0).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return batch.limit(1).select(*cols)
+
+
+def _write_range_files(df, ts, n_files, src, idx0):
+    """Distributed replay-file builder (no ``.toPandas()`` round-trip —
+    runs at any SF): repartitionByRange(ts) + sortWithinPartitions gives
+    disjoint, ordered ts ranges, one parquet file per range, renamed into
+    ``src`` with strictly increasing mtimes so the file stream delivers
+    them in event-time order (nothing ever arrives late). Returns the
+    next file index."""
+    import glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="scotty_gate_chunks_")
+    (
+        df.repartitionByRange(n_files, F.col(ts))
+        .sortWithinPartitions(ts)
+        .write.mode("overwrite").parquet(tmp)
+    )
+    mtime = 1_000_000_000
+    i = idx0
+    for p in sorted(glob.glob(f"{tmp}/part-*.parquet")):
+        dst_tmp = f"{src}/.tmp-{i:04d}"
+        shutil.move(p, dst_tmp)
+        _os.utime(dst_tmp, (mtime + i, mtime + i))  # strictly increasing
+        _os.rename(dst_tmp, f"{src}/{i:04d}.parquet")
+        i += 1
+    shutil.rmtree(tmp, ignore_errors=True)
+    return i
+
+
 def _replay_events_stream(spark, sf_dir, windows, aggs, select_cols,
                           value="value", project=None, build=None,
                           out_filter=None, sentinel_days=1):
-    """Write events (ts-sorted) as 6 parquet files + one far-future
+    """Write events as 6 ts-range parquet files + one far-future
     sentinel row, replay with maxFilesPerTrigger=1 through scotty_stream,
     block until drained, return the emitted windows as a batch DataFrame.
 
@@ -584,12 +641,8 @@ def _replay_events_stream(spark, sf_dir, windows, aggs, select_cols,
     payload lift/combine/lower aggregates); ``project(df)`` reshapes the
     events table (e.g. into the transcript payload shape) before replay.
     """
-    import os as _os
     import shutil
     import tempfile
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from scotty_window_processor_spark.streaming.processor import scotty_stream
 
@@ -600,11 +653,13 @@ def _replay_events_stream(spark, sf_dir, windows, aggs, select_cols,
     else:
         batch = batch.select("user_id", "ts", "value", "event_id")
     schema = batch.schema
-    pdf = batch.toPandas().sort_values("ts", kind="mergesort").reset_index(drop=True)
     # sentinel_days must exceed every horizon the operator waits on (window
     # end + gap + lateness; for quantified CEP, within_ms past the last
     # possible start) or the final flush leaves tail state undecided
-    sentinel_ts = pdf["ts"].max() + __import__("pandas").Timedelta(days=sentinel_days)
+    _, mx_ms = _ts_span_ms(batch)
+    sentinel_ts = __import__("datetime").datetime.utcfromtimestamp(
+        (mx_ms + sentinel_days * 86_400_000) / 1000.0
+    )
 
     src = tempfile.mkdtemp(prefix="scotty_gate_stream_")
     ckpt = tempfile.mkdtemp(prefix="scotty_gate_ckpt_")
@@ -612,26 +667,8 @@ def _replay_events_stream(spark, sf_dir, windows, aggs, select_cols,
     _STREAM_SEQ[0] += 1
     table = f"stream_gate_out_{_STREAM_SEQ[0]}"
     try:
-        n_files = 6
-        chunk = (len(pdf) + n_files - 1) // n_files
-        pieces = [pdf.iloc[i * chunk : (i + 1) * chunk] for i in range(n_files)]
-        sentinel = pdf.iloc[:1].copy()
-        sentinel["user_id"] = -1
-        sentinel["ts"] = sentinel_ts
-        if "value" in sentinel.columns:
-            sentinel["value"] = 0.0
-        pieces.append(sentinel)
-        mtime = 1_000_000_000
-        for i, part in enumerate(p for p in pieces if len(p)):
-            tbl = pa.Table.from_pandas(part, preserve_index=False)
-            tbl = tbl.set_column(
-                tbl.schema.get_field_index("ts"), "ts",
-                tbl.column("ts").cast(pa.timestamp("us")),
-            )
-            tmp = f"{src}/.tmp-{i:04d}"
-            pq.write_table(tbl, tmp)
-            _os.utime(tmp, (mtime + i, mtime + i))  # strictly increasing
-            _os.rename(tmp, f"{src}/{i:04d}.parquet")
+        nxt = _write_range_files(batch, "ts", 6, src, 0)
+        _write_range_files(_sentinel_frame(batch, sentinel_ts), "ts", 1, src, nxt)
 
         # state tasks = shuffle partitions: pin small at gate scale so the
         # per-micro-batch state-store fan-in doesn't dominate (restored in
@@ -671,25 +708,32 @@ def _replay_events_stream(spark, sf_dir, windows, aggs, select_cols,
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _phase_split_ms(mn_ms, mx_ms):
+    """The deterministic phase-boundary instant both engines recompute:
+    the midpoint of the event-time span (integer arithmetic). Phase 1 is
+    every row with ts <= this; no row-count math, so it holds at any SF
+    without a global sort."""
+    return mn_ms + (mx_ms - mn_ms) // 2
+
+
 def _replay_events_stream_phased(spark, sf_dir, build, select_cols,
                                  project=None, restart=False, mid_hook=None,
                                  n_files=4, split=2, sentinel_days=1):
-    """Two-phase replay for RESTART and LIVE-CONTROL gates: deliver the
-    first ``split`` files, drain, then either STOP the query (restart=True
-    — kill-mid-stream) and/or run ``mid_hook()`` (e.g. a live registry
-    window add), deliver the remaining files + the far-future sentinel,
-    and drain again — restarting from the SAME checkpoint when
-    restart=True. Uses foreachBatch + ExactlyOnceParquetSink because the
-    memory sink cannot resume from a checkpoint; returns the sink's
-    committed rows as a batch DataFrame. The file split is deterministic
-    (ts-sorted rows, fixed chunking), so the phase-boundary watermark is a
-    constant the DuckDB oracle can recompute."""
-    import os as _os
+    """Two-phase replay for RESTART and LIVE-CONTROL gates: deliver phase
+    1 (rows with ts <= the span midpoint, as ``split`` ts-range files),
+    drain, then either STOP the query (restart=True — kill-mid-stream)
+    and/or run ``mid_hook()`` (e.g. a live registry window add), deliver
+    phase 2 (+ the far-future sentinel), and drain again — restarting
+    from the SAME checkpoint when restart=True. Uses foreachBatch +
+    ExactlyOnceParquetSink because the memory sink cannot resume from a
+    checkpoint; returns the sink's committed rows as a batch DataFrame.
+
+    The phase boundary is a ts VALUE (span midpoint), not a row count, so
+    the DuckDB oracle recomputes it with two aggregates and the whole
+    builder is distributed (repartitionByRange writes, no ``.toPandas()``
+    round-trip) — the gate runs unchanged at sf1.0+."""
     import shutil
     import tempfile
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from scotty_window_processor_spark.streaming.sink import ExactlyOnceParquetSink
 
@@ -700,34 +744,19 @@ def _replay_events_stream_phased(spark, sf_dir, build, select_cols,
     else:
         batch = batch.select("user_id", "ts", "value", "event_id")
     schema = batch.schema
-    pdf = batch.toPandas().sort_values("ts", kind="mergesort").reset_index(drop=True)
-    sentinel_ts = pdf["ts"].max() + __import__("pandas").Timedelta(days=sentinel_days)
+    mn_ms, mx_ms = _ts_span_ms(batch)
+    t_split = _phase_split_ms(mn_ms, mx_ms)
+    sentinel_ts = __import__("datetime").datetime.utcfromtimestamp(
+        (mx_ms + sentinel_days * 86_400_000) / 1000.0
+    )
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    phase1 = batch.where(ts_ms <= F.lit(t_split))
+    phase2 = batch.where(ts_ms > F.lit(t_split))
 
     src = tempfile.mkdtemp(prefix="scotty_gate_phased_")
     ckpt = tempfile.mkdtemp(prefix="scotty_gate_phased_ckpt_")
     out_dir = tempfile.mkdtemp(prefix="scotty_gate_phased_out_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-
-    chunk = (len(pdf) + n_files - 1) // n_files
-    pieces = [pdf.iloc[i * chunk : (i + 1) * chunk] for i in range(n_files)]
-    sentinel = pdf.iloc[:1].copy()
-    sentinel["user_id"] = -1
-    sentinel["ts"] = sentinel_ts
-    if "value" in sentinel.columns:
-        sentinel["value"] = 0.0
-    pieces.append(sentinel)
-    mtime = 1_000_000_000
-
-    def deliver(i, part):
-        tbl = pa.Table.from_pandas(part, preserve_index=False)
-        tbl = tbl.set_column(
-            tbl.schema.get_field_index("ts"), "ts",
-            tbl.column("ts").cast(pa.timestamp("us")),
-        )
-        tmp = f"{src}/.tmp-{i:04d}"
-        pq.write_table(tbl, tmp)
-        _os.utime(tmp, (mtime + i, mtime + i))
-        _os.rename(tmp, f"{src}/{i:04d}.parquet")
 
     sink = ExactlyOnceParquetSink(out_dir)
 
@@ -743,18 +772,15 @@ def _replay_events_stream_phased(spark, sf_dir, build, select_cols,
 
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        for i, part in enumerate(pieces[:split]):
-            if len(part):
-                deliver(i, part)
+        nxt = _write_range_files(phase1, "ts", split, src, 0)
         q = start_query()
         q.processAllAvailable()
         if restart:
             q.stop()  # kill mid-stream; state lives only in the checkpoint
         if mid_hook is not None:
             mid_hook()
-        for i, part in enumerate(pieces[split:], start=split):
-            if len(part):
-                deliver(i, part)
+        nxt = _write_range_files(phase2, "ts", n_files - split, src, nxt)
+        _write_range_files(_sentinel_frame(batch, sentinel_ts), "ts", 1, src, nxt)
         if restart:
             q = start_query()  # resume from the same checkpoint
         q.processAllAvailable()
@@ -845,14 +871,15 @@ def q_stream_payload_restart(spark, sf_dir):
 def q_stream_live_add(spark, sf_dir):
     """LIVE WINDOW ADDITION gate (the reference's addWindow on a RUNNING
     operator, WindowManager.java:124-143): tumbling(1h) runs as the base
-    window; after the first 2 of 5 files drain, registry_add_window puts
-    tumbling(30m) into the control file while the query KEEPS RUNNING.
+    window; after phase 1 drains (rows up to the event-time span
+    midpoint), registry_add_window puts tumbling(30m) into the control
+    file while the query KEEPS RUNNING.
     Emitted rows: window 1 in full, window 2 filtered to instances fully
     past the phase-boundary watermark (earlier instances legitimately see
     only retained slices — reference add-mid-stream visibility; pinned
     exact by test_streaming.py::test_live_window_addition_via_registry).
     The oracle recomputes the boundary watermark from the deterministic
-    file split: max ts of the first 2·ceil(n/4) ts-ordered rows − 30 s."""
+    ts-midpoint split: max ts among rows <= midpoint, − 30 s."""
     import tempfile
 
     from scotty_window_processor_spark.functions import CountAggregation, SumAggregation
@@ -901,10 +928,10 @@ def q_stream_live_add(spark, sf_dir):
                 pass
     # the add-boundary watermark, recomputed exactly as the oracle does
     ev = _events(spark, sf_dir)
-    n_rows = ev.count()
-    chunk = (n_rows + 3) // 4
+    mn_ms, mx_ms = _ts_span_ms(ev)
+    t_split = _phase_split_ms(mn_ms, mx_ms)
     add_wm = (
-        ev.orderBy("ts").limit(2 * chunk)
+        ev.where(F.unix_millis(F.col("ts").cast("timestamp")) <= F.lit(t_split))
         .agg(F.unix_millis(F.max("ts").cast("timestamp"))).collect()[0][0]
         - 30_000
     )
@@ -2141,17 +2168,17 @@ WHERE y0 = 'view' AND y1 = 'click' AND y2 = 'purchase'
 """
 
 # live-add gate: window 1 (tumbling 1h) in full; window 2 (tumbling 30m,
-# added to the RUNNING query after 3 of 6 data files) for instances fully
+# added to the RUNNING query after phase 1 drains) for instances fully
 # past the phase-boundary watermark — recomputed here from the same
-# deterministic split the harness uses (ties inside a ts collide on the
-# same max, so row_number tie order cannot change add_wm)
+# deterministic ts-midpoint split the harness uses (a pure ts-value
+# predicate: no row ordering or tie-break enters the boundary)
 _LIVE_ADD = """
-WITH ranked AS (
-  SELECT ts, row_number() OVER (ORDER BY ts) AS rn, count(*) OVER () AS n_rows
-  FROM events
+WITH span AS (
+  SELECT epoch_ms(min(ts)) AS mn, epoch_ms(max(ts)) AS mx FROM events
 ), wmv AS (
   SELECT epoch_ms(max(ts)) - 30000 AS add_wm
-  FROM ranked WHERE rn <= 2 * CAST(ceil(n_rows / 4.0) AS BIGINT)
+  FROM events
+  WHERE epoch_ms(ts) <= (SELECT mn + (mx - mn) // 2 FROM span)
 )
 SELECT user_id, CAST(1 AS BIGINT) AS window_id,
        epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS w_start,

@@ -56,7 +56,9 @@ def main():
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.exists(path):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+            # Spark-written tables are directories of part files
+            pat = f"{path}/*.parquet" if os.path.isdir(path) else path
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
 
     import __spark_entry__ as entrymod
 
