@@ -181,14 +181,24 @@ def concurrent_windows_tiers(spark, n_windows: int = 16):
     return r["shared_sec"], r["buckets_sec"]
 
 
-def streaming_probe(spark, n_convs: int = 300, turns_per_conv: int = 100, n_files: int = 12):
+def streaming_probe(spark, n_convs: int = 300, turns_per_conv: int = 100, n_files: int = 12,
+                    shuffle_partitions: str = "8", state_store: str = None,
+                    available_now: bool = False, collect_durations: bool = False,
+                    queryname: str = "bench_stream_out"):
     """Streaming flagship probe: transcripts replayed as one file per
     micro-batch through the stateful slicing operator. Reports operator
     throughput and EMISSION LATENCY percentiles (BASELINE.json metric):
     for each emitted window, latency = emit wall-clock minus the trigger
     start of the first micro-batch whose event-time watermark passed the
     window end — i.e. how long after a window became emittable the
-    operator actually emitted it."""
+    operator actually emitted it.
+
+    Floor-decomposition knobs (scripts/run_latency_floor.py):
+    ``shuffle_partitions`` sizes the per-batch state-store fan-in;
+    ``state_store`` overrides the provider (e.g. RocksDB);
+    ``available_now`` uses Trigger.AvailableNow instead of
+    processAllAvailable; ``collect_durations`` returns the per-batch
+    durationMs breakdown (addBatch / walCommit / commitOffsets / ...)."""
     import shutil
     import tempfile
     from datetime import datetime, timezone
@@ -206,6 +216,7 @@ def streaming_probe(spark, n_convs: int = 300, turns_per_conv: int = 100, n_file
     src = tempfile.mkdtemp(prefix="scotty_stream_src_")
     ckpt = tempfile.mkdtemp(prefix="scotty_stream_ckpt_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_store = None
     try:
         pdf = (
             synthesize_transcripts(spark, n_convs=n_convs, turns_per_conv=turns_per_conv,
@@ -233,7 +244,12 @@ def streaming_probe(spark, n_convs: int = 300, turns_per_conv: int = 100, n_file
         # number for this query only (read at query START) and restore
         # (finally-guarded: a failed probe must not leak 8 partitions into
         # the rest of the bench session)
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_partitions)
+        prev_store = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        if state_store is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", state_store)
         schema = transcripts_schema().add("is_tool", "double")
         stream = (
             spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
@@ -248,11 +264,16 @@ def streaming_probe(spark, n_convs: int = 300, turns_per_conv: int = 100, n_file
             watermark_delay="30 seconds", lateness_ms=30_000,
         )
         t0 = time.time()
-        q = (
-            result.writeStream.format("memory").queryName("bench_stream_out")
-            .option("checkpointLocation", ckpt).outputMode("append").start()
+        writer = (
+            result.writeStream.format("memory").queryName(queryname)
+            .option("checkpointLocation", ckpt).outputMode("append")
         )
-        q.processAllAvailable()
+        if available_now:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+        else:
+            q = writer.start()
+            q.processAllAvailable()
         wall = time.time() - t0
 
         def iso_ms(s):
@@ -260,13 +281,22 @@ def streaming_probe(spark, n_convs: int = 300, turns_per_conv: int = 100, n_file
                        .astimezone(timezone.utc).timestamp() * 1000)
 
         batches = []  # (trigger_start_ms, watermark_ms)
+        durations = {}
+        state_ms = {}
         for p in q.recentProgress:
             wm = (p.get("eventTime") or {}).get("watermark")
             if wm:
                 batches.append((iso_ms(p["timestamp"]), iso_ms(wm)))
+            if collect_durations:
+                for k, v in (p.get("durationMs") or {}).items():
+                    durations.setdefault(k, []).append(v)
+                for so in p.get("stateOperators") or []:
+                    for k in ("commitTimeMs", "allUpdatesTimeMs", "allRemovalsTimeMs"):
+                        if k in so:
+                            state_ms.setdefault(k, []).append(so[k])
         q.stop()
         batches.sort()
-        out = spark.table("bench_stream_out").select("w_end", "emit_ts").collect()
+        out = spark.table(queryname).select("w_end", "emit_ts").collect()
         lats = []
         for r in out:
             eligible = next((start for start, wm in batches if wm > r["w_end"]), None)
@@ -274,7 +304,7 @@ def streaming_probe(spark, n_convs: int = 300, turns_per_conv: int = 100, n_file
                 lats.append(r["emit_ts"] - eligible)
         lats.sort()
         pct = lambda p: lats[min(len(lats) - 1, int(p * len(lats)))] if lats else None
-        return {
+        res = {
             "stream_turns": n_rows,
             "windows_emitted": len(out),
             "micro_batches": len(batches),
@@ -283,8 +313,23 @@ def streaming_probe(spark, n_convs: int = 300, turns_per_conv: int = 100, n_file
             "emit_latency_p50_ms": pct(0.50),
             "emit_latency_p99_ms": pct(0.99),
         }
+        if collect_durations:
+            res["duration_ms_mean"] = {
+                k: round(sum(v) / len(v), 1) for k, v in durations.items() if v
+            }
+            res["state_ms_mean"] = {
+                k: round(sum(v) / len(v), 1) for k, v in state_ms.items() if v
+            }
+        return res
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if state_store is not None:
+            if prev_store is not None:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev_store
+                )
+            else:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 
