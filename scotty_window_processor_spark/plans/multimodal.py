@@ -59,6 +59,81 @@ def _fake_decode(payload: bytes, media_type: str):
     return (320, 240, 1 + n % 120, "h264-stub")
 
 
+# -- opportunistic real-codec seam -----------------------------------------
+# The deterministic stubs above stay the DEFAULT (they are what the DuckDB
+# oracles recompute); auto_codec()/auto_resizer() return real-library-backed
+# implementations WHEN the libraries exist on the machine — the documented
+# one-function swap, made concrete. This container has neither PIL nor
+# soundfile (installs forbidden), so here they fall back to the stubs; the
+# golden-vector test (tests/test_multimodal_seam.py) runs wherever a real
+# decoder is present and pins its contract.
+
+try:  # pragma: no cover - container has no PIL
+    from PIL import Image as _PILImage
+
+    HAVE_PIL = True
+except ImportError:
+    _PILImage = None
+    HAVE_PIL = False
+
+try:  # pragma: no cover - container has no soundfile
+    import soundfile as _soundfile
+
+    HAVE_SOUNDFILE = True
+except ImportError:
+    _soundfile = None
+    HAVE_SOUNDFILE = False
+
+
+def auto_codec():
+    """Codec callable for ``decode_metadata(codec=...)``: decodes images
+    with PIL and audio with soundfile when those libraries are importable,
+    falling back to ``_fake_decode`` per media type otherwise (video
+    always falls back — no container-safe video lib). Returns the same
+    ``(width, height, n_frames, codec_name)`` contract as the stub."""
+    if not (HAVE_PIL or HAVE_SOUNDFILE):
+        return _fake_decode
+
+    def decode(payload: bytes, media_type: str):
+        import io
+
+        if media_type == "image/png" and HAVE_PIL:
+            try:
+                with _PILImage.open(io.BytesIO(payload)) as im:
+                    return (im.width, im.height, None, (im.format or "img").lower())
+            except Exception:
+                return (None, None, None, "image-error")
+        if media_type == "audio/wav" and HAVE_SOUNDFILE:
+            try:
+                with _soundfile.SoundFile(io.BytesIO(payload)) as sf:
+                    return (None, None, int(sf.frames), sf.format.lower())
+            except Exception:
+                return (None, None, None, "audio-error")
+        return _fake_decode(payload, media_type)
+
+    return decode
+
+
+def auto_resizer():
+    """Resizer callable for ``resize_images(resizer=...)``: a real PIL
+    decode→resize→re-encode when PIL is importable, else the stub."""
+    if not HAVE_PIL:
+        return _fake_resize
+
+    def resize(payload: bytes, media_type: str, target_w: int, target_h: int):
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as im:
+                out = io.BytesIO()
+                im.resize((target_w, target_h)).save(out, format=im.format or "PNG")
+                return out.getvalue(), target_w, target_h
+        except Exception:
+            return _fake_resize(payload, media_type, target_w, target_h)
+
+    return resize
+
+
 def decode_metadata(df: DataFrame, codec=None) -> DataFrame:
     """Arrow-batched decode stage: binary payload → typed metadata rows.
 

@@ -146,3 +146,52 @@ def test_extract_features_seam_and_contract(spark):
     r0 = {r["doc_id"]: list(r["features"]) for r in real.collect()}
     # the injected extractor's modulus bound proves it ran on the workers
     assert all(v[j] < j + 2 for v in r0.values() for j in range(8))
+
+
+# round 5: opportunistic real-codec seam -----------------------------------
+
+# a valid 1x1 red-pixel PNG (standard minimal encoding) — the golden
+# vector for machines that DO have PIL; this container skips
+_GOLDEN_PNG = bytes.fromhex(
+    "89504e470d0a1a0a0000000d49484452000000010000000108020000009077"
+    "53de0000000c4944415408d763f8cfc000000301010018dd8db00000000049"
+    "454e44ae426082"
+)
+
+
+def test_auto_codec_falls_back_to_stub_without_libs():
+    """Wherever the real libraries are absent, auto_codec/auto_resizer
+    must hand back the deterministic stubs unchanged — the oracle path
+    stays bit-identical on this container."""
+    from scotty_window_processor_spark.plans import multimodal as mm
+
+    if not (mm.HAVE_PIL or mm.HAVE_SOUNDFILE):
+        assert mm.auto_codec() is mm._fake_decode
+    if not mm.HAVE_PIL:
+        assert mm.auto_resizer() is mm._fake_resize
+
+
+def test_auto_codec_golden_png(spark):
+    """Golden-vector contract for the REAL decoder: runs only where PIL
+    exists (skipped in this container). The auto codec must decode the
+    1x1 golden PNG to (1, 1, None, 'png') both directly and through the
+    decode_metadata mapInPandas stage."""
+    from scotty_window_processor_spark.plans import multimodal as mm
+
+    if not mm.HAVE_PIL:
+        import pytest as _pytest
+
+        _pytest.skip("PIL not installed — real-codec golden test needs it")
+    codec = mm.auto_codec()
+    assert codec is not mm._fake_decode
+    assert codec(_GOLDEN_PNG, "image/png") == (1, 1, None, "png")
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_GOLDEN_PNG), "image/png")],
+        "doc_id long, payload binary, media_type string",
+    )
+    row = mm.decode_metadata(df, codec=codec).collect()[0]
+    assert (row["width"], row["height"], row["codec"]) == (1, 1, "png")
+    out = mm.resize_images(df, target_w=2, target_h=2, resizer=mm.auto_resizer()).collect()[0]
+    assert (out["width"], out["height"]) == (2, 2)
+    assert codec(bytes(out["resized"]), "image/png")[:2] == (2, 2)
