@@ -495,10 +495,16 @@ def q_ann_cosine_ivf(spark, sf_dir):
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs: LSH candidate generation +
     exact cosine verify (same hyperplane family as ann_cosine_lsh, so the
-    oracle replays it bit-for-bit)."""
+    oracle replays it bit-for-bit). max_bucket_size=128 is the measured
+    default from the r5 cap/recall sweep (BENCH/neardup_cap.md): recall
+    1.0 vs uncapped at sf1.0 (20k vecs) while bounding any bucket's
+    candidate contribution to 128^2/2 pairs; the cap is a deterministic
+    function of the bucket assignment, replicated in the oracle SQL."""
     from scotty_window_processor_spark.plans.similarity import embedding_near_dup
 
-    return embedding_near_dup(_emb(spark, sf_dir), threshold=0.2, dim=EMB_DIM)
+    return embedding_near_dup(
+        _emb(spark, sf_dir), threshold=0.2, dim=EMB_DIM, max_bucket_size=128
+    )
 
 
 def q_multimodal_decode(spark, sf_dir):
@@ -1987,9 +1993,12 @@ SELECT query_id, neighbor_id, "rank" FROM ranked WHERE "rank" <= {k}
 """
 
 
-def _near_dup_sql(threshold: float = 0.2, dim: int = 64, planes_per_table: int = 10, tables: int = 6) -> str:
+def _near_dup_sql(threshold: float = 0.2, dim: int = 64, planes_per_table: int = 10,
+                  tables: int = 6, max_bucket_size: int = 128) -> str:
     """embedding_near_dup replay: same hyperplanes, all-pairs-in-bucket
-    candidates, exact cosine verify."""
+    candidates restricted to buckets at or under the density cap (the
+    same deterministic exclusion the Spark side applies), exact cosine
+    verify."""
     from scotty_window_processor_spark.plans.similarity import _hyperplane
 
     sig_terms = []
@@ -2006,9 +2015,14 @@ WITH vecs AS (
   SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
 ), buckets AS (
   {buckets}
+), kept AS (
+  SELECT tbl, bucket FROM buckets
+  GROUP BY tbl, bucket HAVING count(*) <= {max_bucket_size}
 ), cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  FROM buckets a
+  JOIN kept k ON a.tbl = k.tbl AND a.bucket = k.bucket
+  JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
   WHERE a.id < b.id
 ), scored AS (
   SELECT cand.id_a, cand.id_b,

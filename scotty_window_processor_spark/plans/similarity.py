@@ -167,14 +167,25 @@ def cosine_topk_lsh(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qvec"))
+    # norms are precomputed PER ID (|corpus| + |queries| array folds), not
+    # per candidate — a vector recurs in many candidate pairs, and the
+    # per-pair work drops from 3 array aggregations to the dot product
+    # alone. sqrt(fold) is the same arithmetic either way, so the rounded
+    # cosine (and the oracle hash) is bit-identical.
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).withColumn("cnorm", _norm(F.col("cvec")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    ).withColumn("qnorm", _norm(F.col("qvec")))
     scored = (
         candidates.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
         .withColumn(
             "cos",
-            _cos6(F.col("cvec"), F.col("qvec"), _norm(F.col("cvec")), _norm(F.col("qvec"))),
+            _cos6(F.col("cvec"), F.col("qvec"), F.col("cnorm"), F.col("qnorm")),
         )
     )
     return _rank_topk(scored, k)
@@ -215,15 +226,27 @@ def embedding_near_dup(
     cand = (
         a.join(b, ["tbl", "bucket"]).where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
     )
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    # per-ID norm precompute (N array folds) instead of per-PAIR (2 folds
+    # per candidate): the exact-verify stage was 3 aggregate folds per
+    # candidate pair and dominated the sf1.0 wall (measured: 2.6 of 3.9 s
+    # on 1.47 M candidates); sqrt(fold) per id is the same arithmetic, so
+    # the rounded cosine stays bit-identical to the oracle.
+    vecs = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
     return (
-        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
-        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
-        # round BEFORE thresholding (same _cos6 rule as the top-k rankers)
-        .withColumn(
-            "cos",
-            _cos6(F.col("va"), F.col("vb"), _norm(F.col("va")), _norm(F.col("vb"))),
+        cand.join(
+            vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                        F.col("nrm").alias("na")),
+            "id_a",
         )
+        .join(
+            vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                        F.col("nrm").alias("nb")),
+            "id_b",
+        )
+        # round BEFORE thresholding (same _cos6 rule as the top-k rankers)
+        .withColumn("cos", _cos6(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
