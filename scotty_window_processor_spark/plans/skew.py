@@ -12,6 +12,11 @@ groupBy(key, salt) → groupBy(key, window) partial/final aggregation.
 
 Session windows are NOT salted (gap semantics are global per key: a salt
 boundary could split a session); callers route session queries unsalted.
+For keys beyond the unsalted path's per-task floor (~T/2M s for a T-turn
+conversation, BENCH/hotkey_ceiling.md), ``presplit_session_aggregate``
+is the escape hatch: time-bucketed pre-aggregation with a gap-aware
+stitch at bucket boundaries — intra-key parallelism without changing the
+emitted sessions.
 """
 
 from __future__ import annotations
@@ -154,6 +159,116 @@ def salted_window_aggregate(
             *[F.col(n) for n in finals],
         )
     )
+
+
+def presplit_session_aggregate(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_ms: int,
+    partials: Dict[str, Column],
+    finals: Dict[str, Column],
+    bucket_ms: int = 86_400_000,
+) -> DataFrame:
+    """Session aggregation with INTRA-KEY parallelism: the escape hatch
+    for conv_ids beyond the unsalted path's single-task floor
+    (BENCH/hotkey_ceiling.md: ≈T/2M s for a T-turn key — a 10^9-turn
+    conversation is minutes on one task no matter how many executors).
+
+    Three stages, same emitted sessions as ``session_aggregate``:
+
+    1. Bucket rows by ``floor(ts / bucket_ms)`` and run gaps-and-islands
+       WITHIN each (key, bucket) — the shuffle/sort key is (key, bucket),
+       so one hot key spreads over as many tasks as time buckets it
+       spans. Each island is pre-aggregated to one sub-session row
+       (start, end, ``partials``).
+    2. Only the FIRST and LAST island of each bucket can merge across a
+       boundary (interior islands have a >gap separation on both sides
+       inside their bucket); interior islands are therefore already
+       final sessions and bypass the stitch. This caps the per-key
+       stitch input at 2 rows per bucket — ∝ time span, not event count.
+    3. Stitch the boundary islands per key with the same
+       ``start − prev_end > gap`` rule over the (tiny) sub-session
+       stream, then combine ``partials`` with ``finals``.
+
+    The island rule composes exactly: within-bucket islands use
+    ``diff > gap`` and the stitch re-merges any boundary-split pieces
+    with ``diff <= gap``, so the result equals the global
+    gaps-and-islands for ANY bucket_ms (empty buckets included — a
+    session spanning k buckets arrives as k boundary pieces and the
+    stitch chains them). ``partials``/``finals`` must form an
+    associative combine (the same contract as salted_window_aggregate:
+    count → partial count, final sum).
+
+    Output: (key, w_start = epoch-ms first event, w_end = epoch-ms last
+    event + gap, *finals) — identical shape and semantics to
+    ``session_aggregate`` / the reference's SessionWindow trigger
+    (SessionWindow.java:118-133)."""
+    from pyspark.sql.window import Window as SW
+
+    ts_ms = F.unix_millis(F.col(ts).cast("timestamp"))
+    rows = df.withColumn("_ts_ms", ts_ms).withColumn(
+        "_bkt", F.floor(F.col("_ts_ms") / F.lit(int(bucket_ms)))
+    )
+    wkb = SW.partitionBy(key, "_bkt").orderBy("_ts_ms")
+    prev = F.lag("_ts_ms").over(wkb)
+    new_island = (prev.isNull() | (F.col("_ts_ms") - prev > F.lit(int(gap_ms)))).cast(
+        "long"
+    )
+    islands = rows.withColumn(
+        "_isl",
+        F.sum(new_island).over(wkb.rowsBetween(SW.unboundedPreceding, SW.currentRow)),
+    )
+    subs = islands.groupBy(key, "_bkt", "_isl").agg(
+        F.min("_ts_ms").alias("_s"),
+        F.max("_ts_ms").alias("_e"),
+        *[c.alias(n) for n, c in partials.items()],
+    )
+    n_isl = F.max("_isl").over(SW.partitionBy(key, "_bkt"))
+    subs = subs.withColumn(
+        "_edge", (F.col("_isl") == 1) | (F.col("_isl") == n_isl)
+    )
+
+    out_cols = lambda: [  # noqa: E731 - tiny local shape helper
+        F.col(key),
+        F.col("_s").alias("w_start"),
+        (F.col("_e") + F.lit(int(gap_ms))).alias("w_end"),
+        *[F.col(n) for n in finals],
+    ]
+
+    # interior islands: already-final sessions; finals over a singleton
+    # partial group (groupBy on the unique (key, _bkt, _isl))
+    interior = (
+        subs.where(~F.col("_edge"))
+        .groupBy(key, "_bkt", "_isl")
+        .agg(
+            F.min("_s").alias("_s"),
+            F.max("_e").alias("_e"),
+            *[c.alias(n) for n, c in finals.items()],
+        )
+        .select(*out_cols())
+    )
+
+    wk = SW.partitionBy(key).orderBy("_s")
+    prev_e = F.lag("_e").over(wk)
+    new_sess = (prev_e.isNull() | (F.col("_s") - prev_e > F.lit(int(gap_ms)))).cast(
+        "long"
+    )
+    stitched = (
+        subs.where(F.col("_edge"))
+        .withColumn(
+            "_sid",
+            F.sum(new_sess).over(wk.rowsBetween(SW.unboundedPreceding, SW.currentRow)),
+        )
+        .groupBy(key, "_sid")
+        .agg(
+            F.min("_s").alias("_s"),
+            F.max("_e").alias("_e"),
+            *[c.alias(n) for n, c in finals.items()],
+        )
+        .select(*out_cols())
+    )
+    return interior.unionByName(stitched)
 
 
 def assert_saltable(windows: Sequence[Window]) -> None:
