@@ -114,6 +114,26 @@ def q_session_30m(spark, sf_dir):
     )
 
 
+def q_presplit_session_30m(spark, sf_dir):
+    """The session pre-split escape hatch (plans/skew.py::
+    presplit_session_aggregate — intra-key parallelism for conv_ids past
+    the single-task floor, BENCH/presplit_session.md) must emit EXACTLY
+    the sessions of the unsalted path, so it shares session_30m's
+    oracle. Day buckets; rounding applied at the final combine so the
+    two-level sum matches the oracle's single-pass round."""
+    _utc(spark)
+    from scotty_window_processor_spark.plans.skew import presplit_session_aggregate
+
+    return presplit_session_aggregate(
+        _events(spark, sf_dir), "user_id", "ts", 30 * 60_000,
+        partials={"n": F.count(F.lit(1)), "sum_value": F.sum("value")},
+        finals={
+            "n": F.sum("n"),
+            "sum_value": F.round(F.sum("sum_value"), 2),
+        },
+    )
+
+
 def q_count_tumbling_25(spark, sf_dir):
     _utc(spark)
     from scotty_window_processor_spark.plans.windowed import count_tumbling_aggregate
@@ -1426,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_1h": q_tumbling_1h,
         "sliding_1h_15m": q_sliding_1h_15m,
         "session_30m": q_session_30m,
+        "presplit_session_30m": q_presplit_session_30m,
         "count_tumbling_25": q_count_tumbling_25,
         "scotty_multiwindow": q_scotty_multiwindow,
         "scotty_session_kernel": q_scotty_session_kernel,
@@ -2322,6 +2343,7 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_1h": _TUMBLING_1H,
         "sliding_1h_15m": _SLIDING_1H_15M,
         "session_30m": _SESSION_30M,
+        "presplit_session_30m": _SESSION_30M,
         "count_tumbling_25": _COUNT_TUMBLING_25,
         "scotty_multiwindow": _MULTIWINDOW,
         "scotty_session_kernel": _SESSION_KERNEL,
