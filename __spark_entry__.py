@@ -134,6 +134,26 @@ def q_presplit_session_30m(spark, sf_dir):
     )
 
 
+def q_routed_session_30m(spark, sf_dir):
+    """Cost-based session routing (plans/skew.py::
+    routed_session_aggregate): auto-detected hot keys go through the
+    presplit hatch, the rest through the one-pass path, and the union
+    must equal the plain session result — so it shares session_30m's
+    oracle. min_hot_rows is set below the sf0.01 max per-key count so
+    BOTH arms execute in the gate (at larger sf more keys route hot;
+    parity is arm-independent)."""
+    _utc(spark)
+    from scotty_window_processor_spark.plans.skew import routed_session_aggregate
+
+    return routed_session_aggregate(
+        _events(spark, sf_dir), "user_id", "ts", 30 * 60_000,
+        aggs={"n": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 2)},
+        partials={"n": F.count(F.lit(1)), "sum_value": F.sum("value")},
+        finals={"n": F.sum("n"), "sum_value": F.round(F.sum("sum_value"), 2)},
+        min_hot_rows=80,
+    )
+
+
 def q_count_tumbling_25(spark, sf_dir):
     _utc(spark)
     from scotty_window_processor_spark.plans.windowed import count_tumbling_aggregate
@@ -1447,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_1h_15m": q_sliding_1h_15m,
         "session_30m": q_session_30m,
         "presplit_session_30m": q_presplit_session_30m,
+        "routed_session_30m": q_routed_session_30m,
         "count_tumbling_25": q_count_tumbling_25,
         "scotty_multiwindow": q_scotty_multiwindow,
         "scotty_session_kernel": q_scotty_session_kernel,
@@ -2344,6 +2365,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_1h_15m": _SLIDING_1H_15M,
         "session_30m": _SESSION_30M,
         "presplit_session_30m": _SESSION_30M,
+        "routed_session_30m": _SESSION_30M,
         "count_tumbling_25": _COUNT_TUMBLING_25,
         "scotty_multiwindow": _MULTIWINDOW,
         "scotty_session_kernel": _SESSION_KERNEL,

@@ -271,6 +271,76 @@ def presplit_session_aggregate(
     return interior.unionByName(stitched)
 
 
+def routed_session_aggregate(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_ms: int,
+    aggs: Dict[str, Column],
+    partials: Dict[str, Column],
+    finals: Dict[str, Column],
+    hot_keys: Optional[Sequence] = None,
+    min_hot_rows: int = 1_000_000,
+    bucket_ms: int = 86_400_000,
+    sample_rows: int = 2_000_000,
+) -> DataFrame:
+    """Cost-based routing for session aggregation: keys past the
+    presplit break-even go through ``presplit_session_aggregate``
+    (intra-key parallel), everything else through the one-pass unsalted
+    ``session_aggregate`` — the engine applies its own escape hatch.
+
+    ``aggs`` is the one-pass aggregate dict (cold path);
+    ``partials``/``finals`` the two-level equivalent (hot path). The
+    caller guarantees the two express the SAME aggregate (e.g. one-pass
+    ``round(sum(v),2)`` ≡ partial ``sum(v)`` + final
+    ``round(sum(sum_v),2)``); the parity suite pins this for the
+    count/sum contract the gates use.
+
+    ``hot_keys=None`` auto-detects: per-key counts on a sample targeting
+    ``sample_rows`` rows (exact when the input is smaller), flagging
+    keys whose ESTIMATED count (sample count / fraction) exceeds
+    ``min_hot_rows``. The default threshold is the measured break-even
+    from BENCH/presplit_session.md — below ~10^6 rows/key the one-pass
+    merge is at parity or better, so routing is worth it only for keys
+    whose single-task floor (~T/2M s) is visible in the stage time. The
+    flagged list is collected to the driver (bounded: keys above a fixed
+    share of the input — a handful by construction) and applied as an
+    ``isin`` literal, which Catalyst pushes down both scans.
+
+    NULL keys route cold (``isin`` is never true for NULL, and the
+    explicit null-check keeps them out of the hot scan's complement
+    leak)."""
+    from .windowed import session_aggregate
+
+    if hot_keys is None:
+        n = df.count()
+        if n == 0:
+            hot_keys = []
+        else:
+            f = min(1.0, sample_rows / n)
+            sampled = df.sample(fraction=f, seed=13) if f < 1.0 else df
+            hot_keys = [
+                r[0]
+                for r in sampled.groupBy(key)
+                .count()
+                .where(F.col("count") > F.lit(float(min_hot_rows) * f))
+                .select(key)
+                .collect()
+            ]
+    hot_keys = list(hot_keys)
+    if not hot_keys:
+        return session_aggregate(df, key, ts, f"{int(gap_ms)} milliseconds", aggs)
+    cold = df.where(F.col(key).isNull() | ~F.col(key).isin(hot_keys))
+    hot = df.where(F.col(key).isin(hot_keys))
+    return session_aggregate(
+        cold, key, ts, f"{int(gap_ms)} milliseconds", aggs
+    ).unionByName(
+        presplit_session_aggregate(
+            hot, key, ts, gap_ms, partials, finals, bucket_ms=bucket_ms
+        )
+    )
+
+
 def assert_saltable(windows: Sequence[Window]) -> None:
     for w in windows:
         if isinstance(w, SessionWindow):

@@ -152,3 +152,71 @@ def test_presplit_plan_shape(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "_bkt" in plan  # bucketed window/exchange present
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+def _routed(spark, df, hot_keys=None, **kw):
+    from scotty_window_processor_spark.plans.skew import routed_session_aggregate
+
+    return routed_session_aggregate(
+        df, "user_id", "ts", GAP_MS,
+        aggs={"n": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 2)},
+        partials={"n": F.count(F.lit(1)), "sum_value": F.sum("value")},
+        finals={"n": F.sum("n"), "sum_value": F.round(F.sum("sum_value"), 2)},
+        hot_keys=hot_keys,
+        **kw,
+    )
+
+
+def _rows(res):
+    return sorted(
+        ((r["user_id"], r["w_start"], r["w_end"]), r["n"], r["sum_value"])
+        for r in res.collect()
+    )
+
+
+def test_routed_parity_explicit_hot(spark):
+    """Explicit hot list: hot keys go presplit, cold keys one-pass; the
+    union equals the plain unsalted result on the full input."""
+    from scotty_window_processor_spark.plans.windowed import session_aggregate
+
+    rng = random.Random(7)
+    rows = [(99, i * 1000, 1) for i in range(5000)]  # dense hot key
+    rows += [
+        (u, rng.randrange(0, 2 * 86_400_000), rng.randrange(30))
+        for u in range(50)
+        for _ in range(rng.randrange(1, 8))
+    ]
+    df = _df(spark, rows)
+    base = session_aggregate(
+        df, "user_id", "ts", GAP,
+        {"n": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 2)},
+    )
+    routed = _routed(spark, df, hot_keys=[99], bucket_ms=20 * 60_000)
+    assert _rows(base) == _rows(routed)
+
+
+def test_routed_autodetect_routes_hot(spark):
+    """Auto-detection (threshold forced low): the dense key is flagged
+    and both arms run; result still equals the unsalted path."""
+    from scotty_window_processor_spark.plans.windowed import session_aggregate
+
+    rng = random.Random(17)
+    rows = [(99, i * 1000, 1) for i in range(4000)]
+    rows += [(u, rng.randrange(0, 86_400_000), 2) for u in range(30) for _ in range(3)]
+    df = _df(spark, rows)
+    base = session_aggregate(
+        df, "user_id", "ts", GAP,
+        {"n": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 2)},
+    )
+    routed = _routed(spark, df, hot_keys=None, min_hot_rows=500,
+                     bucket_ms=30 * 60_000)
+    assert _rows(base) == _rows(routed)
+
+
+def test_routed_no_hot_falls_back_to_one_pass(spark):
+    """Nothing over the threshold: identical to session_aggregate and no
+    presplit machinery in the plan (no _bkt column anywhere)."""
+    rows = [(u, u * 1_000_000, 5) for u in range(20)]
+    routed = _routed(spark, _df(spark, rows), hot_keys=[])
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "_bkt" not in plan
+    assert routed.count() == 20
