@@ -501,6 +501,41 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SAMPLE_CAP = 8
+
+
+def q_dataset_split(spark, sf_dir):
+    """Deterministic content-addressed train/val/test split — the
+    leakage-control primitive of a training-data pipeline. The gate
+    aggregates per (split, lang) so the value hash depends on every
+    row's assignment while the output stays tiny. The split itself is a
+    zero-shuffle narrow projection (the CASE folds into the scan)."""
+    from scotty_window_processor_spark.plans.sampling import deterministic_split
+
+    return (
+        deterministic_split(_docs(spark, sf_dir), "doc_id", _SPLITS)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum cap sampling over (lang, source): one
+    tiny stratum-size aggregation broadcast back onto the corpus, then a
+    hash-threshold filter — the 100 TB side never shuffles. Aggregated
+    per stratum so the hash pins exact row membership."""
+    from scotty_window_processor_spark.plans.sampling import stratified_sample_cap
+
+    return (
+        stratified_sample_cap(
+            _docs(spark, sf_dir), ["lang", "source"], "doc_id", cap=_SAMPLE_CAP
+        )
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from scotty_window_processor_spark.plans.similarity import cosine_topk_bruteforce
 
@@ -1517,6 +1552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_count_tumbling_25": q_stream_count_tumbling_25,
         "stream_distinct_6h": q_stream_distinct_6h,
         "stream_cep_retry_funnel_capture": q_stream_cep_retry_funnel_capture,
+        "dataset_split": q_dataset_split,
+        "stratified_sample": q_stratified_sample,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_features": q_multimodal_features,
     }
@@ -1905,6 +1942,42 @@ WITH w AS (
   FROM bkt a JOIN bkt b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
 )
 SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
+def _dataset_split_sql() -> str:
+    """Oracle for q_dataset_split: the CASE over cumulative integer
+    thresholds is emitted by the SAME helper the operator's docstring
+    pins (plans.sampling.split_thresholds_sql), so the two can never
+    drift — identical salt, identical md5-60 bucket, identical
+    threshold rounding."""
+    from scotty_window_processor_spark.plans.sampling import split_thresholds_sql
+
+    case = split_thresholds_sql("doc_id", _SPLITS)
+    return f"""
+SELECT {case} AS split, lang,
+       count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM documents GROUP BY 1, 2
+"""
+
+
+def _stratified_sample_sql() -> str:
+    """Oracle for q_stratified_sample: per-stratum keep-rate by exact
+    integer division (DuckDB ``//`` == Spark ``div``), same salt and
+    md5-60 bucket as plans.sampling.stratified_sample_cap."""
+    from scotty_window_processor_spark.plans.sampling import DENOM
+
+    salted = "'sample-v1' || cast(doc_id as varchar)"
+    bucket = f"(({_md5_60_sql(salted)}) % {DENOM})"
+    return f"""
+WITH sizes AS (
+  SELECT lang, source, count(*) AS sz FROM documents GROUP BY 1, 2
+)
+SELECT d.lang, d.source,
+       count(*) AS n_kept, sum(d.n_chars) AS sum_chars
+FROM documents d JOIN sizes s USING (lang, source)
+WHERE {bucket} < least({DENOM}, {_SAMPLE_CAP * DENOM} // s.sz)
+GROUP BY 1, 2
 """
 
 
@@ -2385,6 +2458,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _NGRAM_JACCARD,
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "dedup_simhash": _simhash_sql(),
+        "dataset_split": _dataset_split_sql(),
+        "stratified_sample": _stratified_sample_sql(),
         "text_quality": _TEXT_QUALITY,
         "token_count": _TOKEN_COUNT,
         "language_id": _LANGUAGE_ID,
