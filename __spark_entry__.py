@@ -503,6 +503,8 @@ def q_fingerprint(spark, sf_dir):
 
 _SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
 _SAMPLE_CAP = 8
+_MIX_WEIGHTS = {"en": 0.4, "zh": 0.15, "es": 0.15, "de": 0.15, "fr": 0.15}
+_EXACT_K = 3
 
 
 def q_dataset_split(spark, sf_dir):
@@ -534,6 +536,34 @@ def q_stratified_sample(spark, sf_dir):
         .groupBy("lang", "source")
         .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("sum_chars"))
     )
+
+
+def q_mixture_by_lang(spark, sf_dir):
+    """Domain-mixing downsample: reweight the corpus's lang composition
+    to target weights (largest subsample with no upsampling; bottleneck
+    lang passes whole). One tiny size agg + broadcast thresholds — the
+    corpus side never shuffles. Aggregated per lang so the value hash
+    pins exact row membership."""
+    from scotty_window_processor_spark.plans.sampling import downsample_to_mixture
+
+    return (
+        downsample_to_mixture(_docs(spark, sf_dir), "lang", _MIX_WEIGHTS, "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+def q_stratified_sample_exact(spark, sf_dir):
+    """Exactly-k-per-stratum sample (eval-set construction): rank within
+    (lang, source) by (md5-60 bucket, doc_id) and keep rank <= k. The
+    hash-threshold prefilter bounds the rank shuffle to ~margin*k rows
+    per stratum; exactness is guaranteed by the fallback union. Emits
+    the sampled rows themselves — the strongest membership gate."""
+    from scotty_window_processor_spark.plans.sampling import stratified_sample_exact
+
+    return stratified_sample_exact(
+        _docs(spark, sf_dir), ["lang", "source"], "doc_id", k=_EXACT_K
+    ).select("lang", "source", "doc_id", "sample_rank", "n_chars")
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -1554,6 +1584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cep_retry_funnel_capture": q_stream_cep_retry_funnel_capture,
         "dataset_split": q_dataset_split,
         "stratified_sample": q_stratified_sample,
+        "mixture_by_lang": q_mixture_by_lang,
+        "stratified_sample_exact": q_stratified_sample_exact,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_features": q_multimodal_features,
     }
@@ -1978,6 +2010,38 @@ SELECT d.lang, d.source,
 FROM documents d JOIN sizes s USING (lang, source)
 WHERE {bucket} < least({DENOM}, {_SAMPLE_CAP * DENOM} // s.sz)
 GROUP BY 1, 2
+"""
+
+
+def _mixture_by_lang_sql() -> str:
+    """Oracle for q_mixture_by_lang: kept-row membership SQL is emitted
+    by the SAME helper the operator pins (plans.sampling.
+    mixture_kept_sql) — identical salt, bucket, and 64-bit integer
+    threshold arithmetic — then aggregated per lang."""
+    from scotty_window_processor_spark.plans.sampling import mixture_kept_sql
+
+    kept = mixture_kept_sql("documents", "lang", _MIX_WEIGHTS, "doc_id")
+    return f"""
+SELECT lang, count(*) AS n_kept, sum(n_chars) AS sum_chars
+FROM ({kept}) kept GROUP BY 1
+"""
+
+
+def _stratified_sample_exact_sql() -> str:
+    """Oracle for q_stratified_sample_exact: the same stable total order
+    (md5-60 bucket, doc_id) ranked per (lang, source) — row_number is
+    deterministic because doc_id is unique within a stratum."""
+    from scotty_window_processor_spark.plans.sampling import DENOM
+
+    salted = "'sample-v1' || cast(doc_id as varchar)"
+    bucket = f"(({_md5_60_sql(salted)}) % {DENOM})"
+    return f"""
+SELECT lang, source, doc_id, sample_rank, n_chars FROM (
+  SELECT lang, source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY {bucket}, doc_id) AS sample_rank
+  FROM documents
+) ranked WHERE sample_rank <= {_EXACT_K}
 """
 
 
@@ -2460,6 +2524,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(),
         "dataset_split": _dataset_split_sql(),
         "stratified_sample": _stratified_sample_sql(),
+        "mixture_by_lang": _mixture_by_lang_sql(),
+        "stratified_sample_exact": _stratified_sample_exact_sql(),
         "text_quality": _TEXT_QUALITY,
         "token_count": _TOKEN_COUNT,
         "language_id": _LANGUAGE_ID,

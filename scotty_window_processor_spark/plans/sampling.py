@@ -25,9 +25,9 @@ belongs to the LLM-pipeline brief alongside dedup/similarity/text.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Dict, Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .portable_hash import md5_60
@@ -138,4 +138,166 @@ def stratified_sample_cap(
         df.join(F.broadcast(rates), strata)
         .where(split_bucket(F.col(id_col), salt) < F.col("_keep_num"))
         .drop("_stratum_size", "_keep_num")
+    )
+
+
+def downsample_to_mixture(
+    df: DataFrame,
+    group_col: str,
+    weights: Dict[str, float],
+    id_col: str,
+    salt: str = "mix-v1",
+    scale: float = 1.0,
+) -> DataFrame:
+    """Reweight corpus composition to target mixture ``weights`` — the
+    domain-mixing primitive of a training-data pipeline (e.g. 40% web,
+    30% code, 30% books). Emits the LARGEST subsample whose group
+    composition matches ``weights`` without upsampling any group:
+    N = scale * min_g(size_g / w_g), keep-rate_g = w_g * N / size_g.
+    The bottleneck group passes (nearly) whole; every other group is
+    hash-thresholded down. Groups absent from ``weights`` are dropped.
+
+    Cost shape: ONE tiny aggregation (a row per group) + a broadcast
+    join back; the corpus side never shuffles, and membership is a pure
+    function of (salt, id) — stable across re-runs and appends, like
+    :func:`deterministic_split`. All threshold arithmetic is exact
+    64-bit integer math in millionths (safe to 10^12 rows) so the SQL
+    oracle (:func:`mixture_kept_sql`) reproduces membership
+    row-for-row."""
+    if not weights:
+        raise ValueError("at least one group weight required")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"mixture weights must sum to 1, got {total}")
+    if not 0.0 < scale <= 1.0:
+        raise ValueError(f"scale must be in (0, 1], got {scale}")
+    w_int = {g: int(round(w * DENOM)) for g, w in weights.items()}
+    if any(v <= 0 for v in w_int.values()):
+        raise ValueError(f"weights must each be >= 1/{DENOM}")
+    scale_num = int(round(scale * DENOM))
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(g, v) for g, v in w_int.items()], [group_col, "_w_int"]
+    )
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_sz"))
+    # tiny DF (a row per group): feasible output size per group, global
+    # bottleneck via a broadcast of the single-row min — no window, no
+    # driver collect
+    rates = sizes.join(wdf, group_col).withColumn(
+        "_cand", F.expr(f"_sz * {DENOM} div _w_int")
+    )
+    nmax = rates.agg(F.min("_cand").alias("_nmax"))
+    thr = (
+        rates.crossJoin(F.broadcast(nmax))
+        .withColumn("_n2", F.expr(f"_nmax * {scale_num} div {DENOM}"))
+        .withColumn("_t", F.expr("_w_int * _n2 div _sz"))
+        .select(group_col, "_t")
+    )
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .where(split_bucket(F.col(id_col), salt) < F.col("_t"))
+        .drop("_t")
+    )
+
+
+def mixture_kept_sql(
+    table: str,
+    group_col: str,
+    weights: Dict[str, float],
+    id_col: str,
+    salt: str = "mix-v1",
+    scale: float = 1.0,
+) -> str:
+    """Oracle-side membership for :func:`downsample_to_mixture`: a
+    SELECT of the kept rows of ``table``, with identical integer
+    thresholds over the identical md5-60 bucket (DuckDB ``//`` ==
+    Spark ``div`` on the non-negative operands used here). Kept next to
+    the operator so the two can never drift independently."""
+    from .portable_hash import md5_60_sql
+
+    w_int = {g: int(round(w * DENOM)) for g, w in weights.items()}
+    scale_num = int(round(scale * DENOM))
+    vals = ", ".join(f"('{g}', {v})" for g, v in w_int.items())
+    salted = f"'{salt}' || cast(d.{id_col} as varchar)"
+    bucket = f"({md5_60_sql(salted)} % {DENOM})"
+    return f"""
+WITH mix_w AS (SELECT * FROM (VALUES {vals}) AS v(grp, w_int)),
+mix_sizes AS (SELECT {group_col} AS grp, count(*) AS sz FROM {table} GROUP BY 1),
+mix_rates AS (SELECT s.grp, s.sz, w.w_int, (s.sz * {DENOM}) // w.w_int AS cand
+              FROM mix_sizes s JOIN mix_w w USING (grp)),
+mix_n AS (SELECT min(cand) AS nmax FROM mix_rates),
+mix_thr AS (SELECT grp, (w_int * ((nmax * {scale_num}) // {DENOM})) // sz AS t
+            FROM mix_rates, mix_n)
+SELECT d.* FROM {table} d JOIN mix_thr ON d.{group_col} = mix_thr.grp
+WHERE {bucket} < mix_thr.t
+"""
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata: Sequence[str],
+    id_col: str,
+    k: int,
+    salt: str = "sample-v1",
+    rank_col: str = "sample_rank",
+    prefilter_margin: Optional[int] = 4,
+    _threshold_num: Optional[int] = None,
+) -> DataFrame:
+    """EXACTLY-k-per-stratum deterministic sample: rank rows within each
+    stratum by (hash bucket, id) — a stable total order — and keep rank
+    <= k, emitted in ``rank_col``. Complements
+    :func:`stratified_sample_cap` (hash threshold, ~k, zero data
+    shuffle) when exact counts matter (eval sets, few-shot pools).
+
+    Scale shape: a naive rank shuffles the whole corpus. Instead a
+    hash-threshold prefilter (rate ~ ``prefilter_margin * k / size``,
+    from one tiny size agg broadcast back) cuts each stratum to
+    ~margin*k rows BEFORE the rank shuffle, so only ~margin*k rows per
+    stratum ever move. Exactness is guaranteed, not probabilistic: any
+    row with bucket >= t orders after every row with bucket < t, so if
+    a stratum's prefilter survivor count >= min(k, size) its true top-k
+    all survived; the (rare) strata where the margin was too tight are
+    re-read in full and unioned back. ``prefilter_margin=None`` ranks
+    the full input (the naive path, kept for parity testing).
+    ``_threshold_num`` is a test hook that forces the prefilter
+    threshold to exercise the fallback union."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if prefilter_margin is not None and prefilter_margin < 1:
+        raise ValueError(f"prefilter_margin must be >= 1, got {prefilter_margin}")
+    strata = list(strata)
+    bucket = split_bucket(F.col(id_col), salt).alias("_bucket")
+    pool = df.select("*", bucket)
+    if prefilter_margin is not None:
+        sizes = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("_sz"))
+        t_expr = (
+            F.lit(int(_threshold_num))
+            if _threshold_num is not None
+            else F.least(
+                F.lit(DENOM).cast("long"),
+                F.expr(f"{int(prefilter_margin) * int(k) * DENOM} div _sz") + F.lit(1),
+            )
+        )
+        thr = sizes.withColumn("_t", t_expr)
+        cand = pool.join(F.broadcast(thr), strata).where(F.col("_bucket") < F.col("_t"))
+        # strata whose survivor count fell under min(k, size): the margin
+        # was too tight there — re-read those strata in full (typically
+        # zero rows; the broadcast anti/semi joins are near-free then)
+        surv = cand.groupBy(*strata).agg(F.count(F.lit(1)).alias("_surv"))
+        short = (
+            thr.join(surv, strata, "left")
+            .where(
+                F.coalesce(F.col("_surv"), F.lit(0))
+                < F.least(F.lit(int(k)).cast("long"), F.col("_sz"))
+            )
+            .select(*strata)
+        )
+        pool = cand.drop("_sz", "_t").join(
+            F.broadcast(short), strata, "left_anti"
+        ).unionByName(pool.join(F.broadcast(short), strata, "left_semi"))
+    w = Window.partitionBy(*strata).orderBy("_bucket", id_col)
+    return (
+        pool.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .where(F.col(rank_col) <= k)
+        .drop("_bucket")
     )

@@ -184,3 +184,157 @@ def test_split_preserves_columns_and_rows(spark, docs):
 
     out = deterministic_split(docs, "doc_id", SPLITS)
     assert set(out.columns) == set(docs.columns) | {"split"}
+
+
+WEIGHTS = {"en": 0.4, "zh": 0.15, "es": 0.15, "de": 0.15, "fr": 0.15}
+
+
+def test_mixture_composition_and_bottleneck(spark, docs):
+    """Output composition tracks the target weights; the bottleneck
+    group (max size_g/w_g deficit) passes (nearly) whole; no group is
+    upsampled."""
+    from scotty_window_processor_spark.plans.sampling import downsample_to_mixture
+
+    sizes = {
+        r["lang"]: r["c"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    out = downsample_to_mixture(docs, "lang", WEIGHTS, "doc_id")
+    kept = {
+        r["lang"]: r["c"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    n_target = min(sizes[g] / w for g, w in WEIGHTS.items())
+    for g, w in WEIGHTS.items():
+        exp = w * n_target
+        sigma = (sizes[g] * (exp / sizes[g]) * (1 - min(1, exp / sizes[g]))) ** 0.5
+        assert kept.get(g, 0) <= sizes[g]  # never upsampled
+        assert abs(kept.get(g, 0) - exp) <= 4 * sigma + 2, (g, kept.get(g), exp)
+
+
+def test_mixture_drops_unlisted_groups_and_validates(spark, docs):
+    from scotty_window_processor_spark.plans.sampling import downsample_to_mixture
+
+    out = downsample_to_mixture(docs, "lang", {"en": 0.6, "zh": 0.4}, "doc_id")
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs <= {"en", "zh"}
+    with pytest.raises(ValueError):
+        downsample_to_mixture(docs, "lang", {"en": 0.5}, "doc_id")
+    with pytest.raises(ValueError):
+        downsample_to_mixture(docs, "lang", WEIGHTS, "doc_id", scale=0.0)
+
+
+def test_mixture_scale_shrinks_proportionally(spark, docs):
+    from scotty_window_processor_spark.plans.sampling import downsample_to_mixture
+
+    full = downsample_to_mixture(docs, "lang", WEIGHTS, "doc_id").count()
+    half = downsample_to_mixture(docs, "lang", WEIGHTS, "doc_id", scale=0.5).count()
+    assert 0.3 * full <= half <= 0.7 * full
+
+
+def test_mixture_stable_under_repartition(spark, docs):
+    from scotty_window_processor_spark.plans.sampling import downsample_to_mixture
+
+    a = sorted(
+        r["doc_id"]
+        for r in downsample_to_mixture(docs, "lang", WEIGHTS, "doc_id").collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in downsample_to_mixture(
+            docs.repartition(11, "source"), "lang", WEIGHTS, "doc_id"
+        ).collect()
+    )
+    assert a == b and a
+
+
+def _exact_expected(docs, strata, k):
+    """Brute-force oracle: rank by (bucket, doc_id) per stratum in pandas."""
+    from scotty_window_processor_spark.plans.sampling import split_bucket
+
+    pdf = docs.select(
+        *strata, "doc_id", split_bucket(F.col("doc_id"), "sample-v1").alias("b")
+    ).toPandas()
+    pdf = pdf.sort_values(["b", "doc_id"])
+    pdf["rnk"] = pdf.groupby(strata).cumcount() + 1
+    return {
+        (tuple(r[s] for s in strata) + (r["doc_id"],)): r["rnk"]
+        for _, r in pdf.iterrows()
+        if r["rnk"] <= k
+    }
+
+
+def test_exact_sample_matches_bruteforce(spark, docs):
+    from scotty_window_processor_spark.plans.sampling import stratified_sample_exact
+
+    k = 3
+    exp = _exact_expected(docs, ["lang", "source"], k)
+    got = {
+        (r["lang"], r["source"], r["doc_id"]): r["sample_rank"]
+        for r in stratified_sample_exact(
+            docs, ["lang", "source"], "doc_id", k
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_exact_sample_prefilter_paths_agree(spark, docs):
+    """Naive full-rank path, default prefilter, and a forced-fallback
+    threshold (t=1 starves every stratum -> full re-read) must all emit
+    identical membership and ranks."""
+    from scotty_window_processor_spark.plans.sampling import stratified_sample_exact
+
+    def ids(**kw):
+        return sorted(
+            (r["lang"], r["doc_id"], r["sample_rank"])
+            for r in stratified_sample_exact(
+                docs, ["lang"], "doc_id", 7, **kw
+            ).collect()
+        )
+
+    naive = ids(prefilter_margin=None)
+    assert ids() == naive
+    assert ids(_threshold_num=1) == naive  # fallback union exercised
+    assert len(naive) == 5 * 7  # 5 langs, each bigger than k
+
+
+def test_exact_sample_k_exceeds_stratum(spark, docs):
+    """k >= stratum size keeps the whole stratum, ranked."""
+    from scotty_window_processor_spark.plans.sampling import stratified_sample_exact
+
+    n = docs.count()
+    out = stratified_sample_exact(docs, ["lang"], "doc_id", k=10**6)
+    assert out.count() == n
+    # ranks within each lang are a contiguous 1..size sequence
+    per = {
+        r["lang"]: (r["mn"], r["mx"], r["c"])
+        for r in out.groupBy("lang")
+        .agg(
+            F.min("sample_rank").alias("mn"),
+            F.max("sample_rank").alias("mx"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .collect()
+    }
+    for lang, (mn, mx, c) in per.items():
+        assert mn == 1 and mx == c, (lang, per[lang])
+
+
+def test_exact_sample_is_exactly_k(spark, docs):
+    from scotty_window_processor_spark.plans.sampling import stratified_sample_exact
+
+    kept = (
+        stratified_sample_exact(docs, ["lang", "source"], "doc_id", 2)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    sizes = {
+        (r["lang"], r["source"]): r["c"]
+        for r in docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    for r in kept:
+        assert r["c"] == min(2, sizes[(r["lang"], r["source"])])
+    assert len(kept) == len(sizes)
