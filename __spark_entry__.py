@@ -505,6 +505,9 @@ _SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
 _SAMPLE_CAP = 8
 _MIX_WEIGHTS = {"en": 0.4, "zh": 0.15, "es": 0.15, "de": 0.15, "fr": 0.15}
 _EXACT_K = 3
+_PACK_CTX = 2048
+_PACK_SHARDS = 16
+_WSAMPLE_SCALE = 4000  # weight = min(1, n_chars/4000) in exact millionths
 
 
 def q_dataset_split(spark, sf_dir):
@@ -564,6 +567,37 @@ def q_stratified_sample_exact(spark, sf_dir):
     return stratified_sample_exact(
         _docs(spark, sf_dir), ["lang", "source"], "doc_id", k=_EXACT_K
     ).select("lang", "source", "doc_id", "sample_rank", "n_chars")
+
+
+def q_pack_documents(spark, sf_dir):
+    """Deterministic concatenate-then-chunk sequence packing: hash-shard
+    the corpus, lay documents out per shard in content-addressed order,
+    and cut every _PACK_CTX length units. Emits the doc-level layout
+    (start offset, chunk index, boundary-cross flag) — membership AND
+    position gated row-for-row."""
+    from scotty_window_processor_spark.plans.packing import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), "doc_id", "n_chars", _PACK_CTX, n_shards=_PACK_SHARDS
+    ).select("doc_id", "pack_shard", "pack_start", "pack_seq", "pack_cross")
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Quality-weighted downsample: keep probability min(1, n_chars /
+    _WSAMPLE_SCALE), computed in exact integer millionths so membership
+    is engine-independent. Stateless zero-shuffle filter; aggregated per
+    (lang, source) so the hash pins exact membership."""
+    from scotty_window_processor_spark.plans.sampling import DENOM, weighted_sample
+
+    docs = _docs(spark, sf_dir)
+    w = F.least(
+        F.lit(DENOM).cast("long"), F.expr(f"n_chars * {DENOM} div {_WSAMPLE_SCALE}")
+    )
+    return (
+        weighted_sample(docs, "doc_id", w)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("sum_chars"))
+    )
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -1586,6 +1620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "mixture_by_lang": q_mixture_by_lang,
         "stratified_sample_exact": q_stratified_sample_exact,
+        "pack_documents": q_pack_documents,
+        "weighted_sample": q_weighted_sample,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_features": q_multimodal_features,
     }
@@ -2042,6 +2078,37 @@ SELECT lang, source, doc_id, sample_rank, n_chars FROM (
                             ORDER BY {bucket}, doc_id) AS sample_rank
   FROM documents
 ) ranked WHERE sample_rank <= {_EXACT_K}
+"""
+
+
+def _pack_documents_sql() -> str:
+    """Oracle for q_pack_documents: the layout SQL is emitted by the
+    SAME helper the operator pins (plans.packing.pack_sequences_sql) —
+    identical shard hash, layout order, and chunk arithmetic."""
+    from scotty_window_processor_spark.plans.packing import pack_sequences_sql
+
+    laid = pack_sequences_sql(
+        "documents", "doc_id", "n_chars", _PACK_CTX, n_shards=_PACK_SHARDS
+    )
+    return f"""
+SELECT doc_id, pack_shard, pack_start, pack_seq, pack_cross
+FROM ({laid}) packed
+"""
+
+
+def _weighted_sample_sql() -> str:
+    """Oracle for q_weighted_sample: identical integer-millionths weight
+    (DuckDB ``//`` == Spark ``div`` on the non-negative operands) over
+    the identical md5-60 bucket."""
+    from scotty_window_processor_spark.plans.sampling import DENOM
+
+    salted = "'wsample-v1' || cast(doc_id as varchar)"
+    bucket = f"(({_md5_60_sql(salted)}) % {DENOM})"
+    w = f"least({DENOM}, (n_chars * {DENOM}) // {_WSAMPLE_SCALE})"
+    return f"""
+SELECT lang, source, count(*) AS n_kept, sum(n_chars) AS sum_chars
+FROM documents WHERE {bucket} < {w}
+GROUP BY 1, 2
 """
 
 
@@ -2526,6 +2593,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_sample_sql(),
         "mixture_by_lang": _mixture_by_lang_sql(),
         "stratified_sample_exact": _stratified_sample_exact_sql(),
+        "pack_documents": _pack_documents_sql(),
+        "weighted_sample": _weighted_sample_sql(),
         "text_quality": _TEXT_QUALITY,
         "token_count": _TOKEN_COUNT,
         "language_id": _LANGUAGE_ID,

@@ -141,6 +141,22 @@ def stratified_sample_cap(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_num: Column,
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Per-row keep probability ``weight_num``/:data:`DENOM` (an integer
+    column in millionths, e.g. a quality score) — the quality-weighted
+    downsampling primitive: keep iff bucket(salt, id) < weight_num.
+    Stateless, zero-shuffle, content-addressed (same stability
+    guarantees as :func:`deterministic_split`); callers derive
+    ``weight_num`` with exact integer arithmetic (``x * DENOM div y``)
+    so any SQL engine reproduces membership row-for-row."""
+    return df.where(split_bucket(F.col(id_col), salt) < weight_num)
+
+
 def downsample_to_mixture(
     df: DataFrame,
     group_col: str,
