@@ -502,6 +502,8 @@ def q_fingerprint(spark, sf_dir):
 
 
 _SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_DECON_THRESHOLD = 0.2
+_SHUF_SHARDS = 16
 _SAMPLE_CAP = 8
 _MIX_WEIGHTS = {"en": 0.4, "zh": 0.15, "es": 0.15, "de": 0.15, "fr": 0.15}
 _EXACT_K = 3
@@ -597,6 +599,116 @@ def q_weighted_sample(spark, sf_dir):
         weighted_sample(docs, "doc_id", w)
         .groupBy("lang", "source")
         .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: score every train-split document's
+    word-trigram overlap against the held-out test split (the
+    contamination check run before any LLM training job). Composes the
+    deterministic content-addressed split with the broadcast n-gram
+    probe; per-doc output (not aggregated) so the hash pins every
+    document's exact contamination score and flag."""
+    from scotty_window_processor_spark.plans.hygiene import decontaminate
+    from scotty_window_processor_spark.plans.sampling import deterministic_split
+
+    docs = deterministic_split(_docs(spark, sf_dir), "doc_id", _SPLITS)
+    ev = docs.where(F.col("split") == "test").select("doc_id", "text")
+    tr = docs.where(F.col("split") == "train").select("doc_id", "text")
+    out = decontaminate(tr, ev, n=3, threshold=_DECON_THRESHOLD)
+    return out.select(
+        "doc_id",
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        "contamination",
+        "contaminated",
+    )
+
+
+def _augmented_docs(spark, sf_dir):
+    """documents with PII-shaped spans deterministically injected as a
+    pure function of doc_id — the synthetic corpus has none, and the
+    identical concat runs in the oracle (_AUG_TEXT_SQL), so the scrubber
+    is exercised on non-trivial input without external data."""
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(""),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (did % 200).cast("string"),
+                F.lit(".0."),
+                (did % 250).cast("string"),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-0199"),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" ssn 123-45-"), F.lpad((did % 10000).cast("string"), 4, "0")
+            ),
+        ).otherwise(""),
+    )
+    return _docs(spark, sf_dir).select("doc_id", aug.alias("text"))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII counting + redaction over the deterministically augmented
+    corpus. Per-row output INCLUDING the redacted text, so the value
+    hash pins byte-exact redaction (the per-row text-equality bar the
+    north rule sets for transcripts, applied to the scrubber)."""
+    from scotty_window_processor_spark.plans.hygiene import pii_scrub
+
+    out = pii_scrub(_augmented_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        *[F.col(c).cast("long").alias(c) for c in ("n_email", "n_ssn", "n_phone", "n_ipv4")],
+        "clean_text",
+    )
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition metrics per document (duplicate-word
+    fraction, modal word/bigram mass) — the quality-filter signals a
+    pretraining pipeline thresholds on. Per-doc output pins every
+    metric and both modal tokens (ties broken lexicographically on both
+    sides)."""
+    from scotty_window_processor_spark.plans.hygiene import repetition_signals
+
+    out = repetition_signals(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_distinct_words").cast("long").alias("n_distinct_words"),
+        "dup_word_frac",
+        "top_word",
+        "top_word_frac",
+        "top_bigram",
+        "top_bigram_frac",
+    )
+
+
+def q_global_shuffle(spark, sf_dir):
+    """Deterministic content-addressed global training order: every doc
+    gets a (shard, pos) coordinate from the md5-60 order key. Per-row
+    output pins the entire permutation — shard assignment AND the exact
+    rank within every shard."""
+    from scotty_window_processor_spark.plans.sampling import global_shuffle
+
+    return global_shuffle(_docs(spark, sf_dir), "doc_id", n_shards=_SHUF_SHARDS).select(
+        "doc_id", "shard", "pos"
     )
 
 
@@ -1622,6 +1734,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_exact": q_stratified_sample_exact,
         "pack_documents": q_pack_documents,
         "weighted_sample": q_weighted_sample,
+        "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
+        "repetition_signals": q_repetition_signals,
+        "global_shuffle": q_global_shuffle,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_features": q_multimodal_features,
     }
@@ -2026,6 +2142,138 @@ def _dataset_split_sql() -> str:
 SELECT {case} AS split, lang,
        count(*) AS n_docs, sum(n_chars) AS sum_chars
 FROM documents GROUP BY 1, 2
+"""
+
+
+def _decontaminate_sql() -> str:
+    """Oracle for q_decontaminate: the split CASE comes from the SAME
+    helper the operator pins (plans.sampling.split_thresholds_sql), and
+    the trigram shingles are the string twins of the xxhash64 keys the
+    Spark side joins on (distinct-set cardinalities are 1:1 up to 64-bit
+    collisions, as in the ngram-Jaccard gate)."""
+    from scotty_window_processor_spark.plans.sampling import split_thresholds_sql
+
+    case = split_thresholds_sql("doc_id", _SPLITS)
+    return f"""
+WITH assigned AS (
+  SELECT doc_id, text, {case} AS split FROM documents
+), sh AS (
+  SELECT doc_id, split,
+         list_distinct([
+           array_to_string(words[i:i+2], ' ')
+           FOR i IN range(1, greatest(len(words) - 2, 1) + 1)
+         ]) AS shingles
+  FROM (
+    SELECT doc_id, split,
+           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+    FROM assigned
+  )
+), ev AS (
+  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE split = 'test'
+), expl AS (
+  SELECT doc_id, len(shingles) AS n_ngrams, unnest(shingles) AS sh
+  FROM sh WHERE split = 'train'
+), m AS (
+  SELECT e.doc_id, e.n_ngrams, count(v.s) AS n_matched
+  FROM expl e LEFT JOIN ev v ON e.sh = v.s
+  GROUP BY 1, 2
+)
+SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+       CAST(n_matched AS BIGINT) AS n_matched,
+       round(n_matched * 1.0 / n_ngrams, 6) AS contamination,
+       (n_matched * 1.0 / n_ngrams) >= {_DECON_THRESHOLD} AS contaminated
+FROM m
+"""
+
+
+# the PII-injection concat, shared textually by the pii_scrub oracle; the
+# Spark twin is _augmented_docs (same arms, same lpad widths, same order)
+_AUG_TEXT_SQL = """text
+  || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+  || CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+  || CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' ELSE '' END
+  || CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"""
+
+
+def _pii_scrub_sql() -> str:
+    """Oracle for q_pii_scrub: patterns interpolated from the SAME
+    PII_PATTERNS tuple the operator compiles (restricted to syntax with
+    identical Java-regex/RE2 semantics), counts on the original text,
+    redaction applied in the same declaration order."""
+    from scotty_window_processor_spark.plans.hygiene import PII_PATTERNS
+
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    clean = "text"
+    for _, pat, token in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{token}', 'g')"
+    return f"""
+WITH aug AS (
+  SELECT doc_id, {_AUG_TEXT_SQL} AS text FROM documents
+)
+SELECT doc_id,
+       {counts},
+       {clean} AS clean_text
+FROM aug
+"""
+
+
+_REPETITION_SIGNALS = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents
+), wc AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM w GROUP BY 1, 2
+), wr AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok ASC) AS rk FROM wc
+), ws AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_distinct_words,
+         max(CASE WHEN rk = 1 THEN tok END) AS top_word,
+         max(CASE WHEN rk = 1 THEN cnt END) AS topc
+  FROM wr GROUP BY 1
+), b AS (
+  SELECT doc_id,
+         unnest([array_to_string(words[i:i+1], ' ') FOR i IN range(1, len(words))]) AS tok
+  FROM (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+    FROM documents
+  )
+), bc AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM b GROUP BY 1, 2
+), br AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok ASC) AS rk FROM bc
+), bs AS (
+  SELECT doc_id, sum(cnt) AS bi_total,
+         max(CASE WHEN rk = 1 THEN tok END) AS top_bigram,
+         max(CASE WHEN rk = 1 THEN cnt END) AS bc_top
+  FROM br GROUP BY 1
+)
+SELECT ws.doc_id, n_words, n_distinct_words,
+       round(1 - n_distinct_words * 1.0 / n_words, 6) AS dup_word_frac,
+       top_word, round(topc * 1.0 / n_words, 6) AS top_word_frac,
+       top_bigram,
+       coalesce(round(bc_top * 1.0 / bi_total, 6), 0.0) AS top_bigram_frac
+FROM ws LEFT JOIN bs USING (doc_id)
+"""
+
+
+def _global_shuffle_sql() -> str:
+    """Oracle for q_global_shuffle: the identical md5-60 order key
+    (plans.portable_hash contract), shard = key mod n_shards, pos =
+    rank within shard by (key, doc_id)."""
+    key = _md5_60_sql("'shuffle-v1' || cast(doc_id as varchar)")
+    return f"""
+SELECT doc_id,
+       CAST(({key}) % {_SHUF_SHARDS} AS INTEGER) AS shard,
+       CAST(row_number() OVER (
+            PARTITION BY ({key}) % {_SHUF_SHARDS}
+            ORDER BY ({key}), doc_id) AS BIGINT) AS pos
+FROM documents
 """
 
 
@@ -2595,6 +2843,10 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_exact": _stratified_sample_exact_sql(),
         "pack_documents": _pack_documents_sql(),
         "weighted_sample": _weighted_sample_sql(),
+        "decontaminate": _decontaminate_sql(),
+        "pii_scrub": _pii_scrub_sql(),
+        "repetition_signals": _REPETITION_SIGNALS,
+        "global_shuffle": _global_shuffle_sql(),
         "text_quality": _TEXT_QUALITY,
         "token_count": _TOKEN_COUNT,
         "language_id": _LANGUAGE_ID,

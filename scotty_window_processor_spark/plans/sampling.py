@@ -317,3 +317,40 @@ def stratified_sample_exact(
         .where(F.col(rank_col) <= k)
         .drop("_bucket")
     )
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "shuffle-v1",
+    n_shards: int = 64,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic content-addressed global training order: every row
+    gets a (shard, pos) coordinate; reading shards in index order, each
+    ordered by ``pos``, visits the corpus in a pseudorandom permutation
+    that is a pure function of (salt, id) — the "shuffle the corpus
+    once, write sharded files" pass at the end of a data pipeline.
+
+    Why not orderBy(rand())? Not reproducible across re-runs or
+    repartitioning, and a single global sort ranks 100 TB through one
+    range partitioner. Here the order key is the md5-60 bucket: shard =
+    key mod ``n_shards`` (uniform), pos = rank within shard by (key,
+    id). The only exchange is the hash partition on ``shard``; each
+    shard ranks independently (size n_shards to keep per-task rank
+    state bounded — thousands at real scale). Same-key ties (~2^-60)
+    are broken by id, so the permutation is total and stable under
+    appends: new rows interleave without moving existing coordinates'
+    relative order (a row's key never changes).
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    key = split_bucket(F.col(id_col), salt, denom=1 << 60)
+    w = Window.partitionBy(shard_col).orderBy("_ord_key", id_col)
+    return (
+        df.withColumn("_ord_key", key)
+        .withColumn(shard_col, F.pmod(F.col("_ord_key"), F.lit(int(n_shards))).cast("int"))
+        .withColumn(pos_col, F.row_number().over(w).cast("long"))
+        .drop("_ord_key")
+    )

@@ -51,7 +51,8 @@ def _pred_bool(p: StepPredicateP, seq: pd.DataFrame):
     out = p(seq)
     if isinstance(out, np.ndarray) and out.dtype == bool:
         return out
-    return pd.Series(out).fillna(False).to_numpy(dtype=bool)
+    s = pd.Series(out)
+    return s.mask(s.isna(), False).to_numpy(dtype=bool)
 
 
 def _out_schema(key: str, key_type, L: int, capture: Sequence[str], src: T.StructType) -> T.StructType:

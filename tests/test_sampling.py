@@ -338,3 +338,53 @@ def test_exact_sample_is_exactly_k(spark, docs):
     for r in kept:
         assert r["c"] == min(2, sizes[(r["lang"], r["source"])])
     assert len(kept) == len(sizes)
+
+
+# ---------------------------------------------------------------------------
+# global_shuffle
+
+
+def test_global_shuffle_is_total_permutation(spark, docs):
+    from scotty_window_processor_spark.plans.sampling import global_shuffle
+
+    out = global_shuffle(docs, "doc_id", n_shards=8).cache()
+    assert out.count() == docs.count()
+    # every row gets exactly one coordinate; positions are dense 1..n
+    # within each shard (the property that makes shard files streamable)
+    per = out.groupBy("shard").agg(
+        F.min("pos").alias("mn"), F.max("pos").alias("mx"), F.count(F.lit(1)).alias("c")
+    )
+    for r in per.collect():
+        assert r["mn"] == 1 and r["mx"] == r["c"], r
+    assert per.count() == 8
+    out.unpersist()
+
+
+def test_global_shuffle_stable_under_repartition(spark, docs):
+    from scotty_window_processor_spark.plans.sampling import global_shuffle
+
+    a = {r["doc_id"]: (r["shard"], r["pos"]) for r in global_shuffle(docs, "doc_id").collect()}
+    b = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in global_shuffle(docs.repartition(13), "doc_id").collect()
+    }
+    assert a == b
+
+
+def test_global_shuffle_appends_preserve_relative_order(spark, docs):
+    from scotty_window_processor_spark.plans.sampling import global_shuffle
+
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    small = global_shuffle(half, "doc_id").collect()
+    full = {r["doc_id"]: (r["shard"], r["pos"]) for r in global_shuffle(docs, "doc_id").collect()}
+    # a row's shard never changes when data is appended, and within a
+    # shard the RELATIVE order of old rows is preserved (pos is dense,
+    # so absolute positions shift as new rows interleave)
+    for shard in {r["shard"] for r in small}:
+        olds = sorted(
+            (r["pos"], r["doc_id"]) for r in small if r["shard"] == shard
+        )
+        order_small = [d for _, d in olds]
+        order_full = sorted(order_small, key=lambda d: full[d][1])
+        assert all(full[d][0] == shard for d in order_small)
+        assert order_small == order_full
