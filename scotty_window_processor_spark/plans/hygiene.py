@@ -151,31 +151,10 @@ def pii_scrub(
 # repetition / boilerplate signals
 
 
-def _token_stats(tokens: DataFrame, id_col: str, tok: str, prefix: str) -> DataFrame:
-    """(id, {prefix}_total, {prefix}_distinct, top_{prefix},
-    top_{prefix}_frac) from an exploded (id, token) frame.
-
-    One exchange on (id, token) — partially aggregated map-side, so
-    shuffle rows are bounded by per-doc distinct tokens — then a
-    per-doc window to pick the modal token (ties broken lexicographically
-    for determinism) and a second partial-agg collapse to doc grain."""
-    counts = tokens.groupBy(id_col, tok).agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.asc(tok))
-    ranked = counts.withColumn("rk", F.row_number().over(w))
-    return (
-        ranked.groupBy(id_col)
-        .agg(
-            F.sum("cnt").alias(f"{prefix}_total"),
-            F.count(F.lit(1)).alias(f"{prefix}_distinct"),
-            F.max(F.when(F.col("rk") == 1, F.col(tok))).alias(f"top_{prefix}"),
-            F.max(F.when(F.col("rk") == 1, F.col("cnt"))).alias("_topc"),
-        )
-        .withColumn(
-            f"top_{prefix}_frac",
-            F.round(F.col("_topc") / F.col(f"{prefix}_total"), 6),
-        )
-        .drop("_topc")
-    )
+# tag prepended to bigram tokens so words and bigrams share ONE exploded
+# frame / ONE aggregation pipeline; normalized text (lower + collapsed
+# whitespace) can never contain a control byte, so the tag is unambiguous
+_BG_TAG = "\x01"
 
 
 def repetition_signals(
@@ -192,36 +171,54 @@ def repetition_signals(
 
     Single-word documents have no bigram: top_bigram is NULL and
     top_bigram_frac is 0.0 (a one-word doc is trivially unrepetitive at
-    bigram grain)."""
+    bigram grain).
+
+    Plan shape — ONE scan, TWO exchanges, no window, no join: words and
+    tag-prefixed bigrams ride one explode into a (doc, token) count
+    (exchange 1, map-side partial agg bounds shuffle rows by per-doc
+    DISTINCT tokens), then one conditional aggregation to doc grain
+    (exchange 2). The modal token with the lexicographic tie-break is
+    ``min(struct(-count, token))`` — struct ordering gives highest count
+    first, then smallest token — instead of a per-doc row_number window,
+    which would add a full sort + another exchange per token family."""
     src = spread(df)
     words_arr = F.split(normalized_text(F.col(text_col)), " ")
-    words = src.select(F.col(id_col), F.explode(words_arr).alias("w"))
     # adjacent (non-distinct) bigrams; empty array for single-word docs —
     # sequence(1, 0) would count DOWN, so the size guard is load-bearing
     bi_arr = F.when(F.size(words_arr) < 2, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.size(words_arr) - 1),
             lambda i: F.concat_ws(
-                " ", F.element_at(words_arr, i), F.element_at(words_arr, i + 1)
+                _BG_TAG, F.element_at(words_arr, i), F.element_at(words_arr, i + 1)
             ),
         )
     )
-    bigrams = src.select(F.col(id_col), F.explode(bi_arr).alias("bg"))
-
-    ws = _token_stats(words, id_col, "w", "word")
-    bs = _token_stats(bigrams, id_col, "bg", "bigram")
-    return (
-        ws.join(bs, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("word_total").alias("n_words"),
-            F.col("word_distinct").alias("n_distinct_words"),
-            F.round(1 - F.col("word_distinct") / F.col("word_total"), 6).alias(
-                "dup_word_frac"
-            ),
-            F.col("top_word"),
-            F.col("top_word_frac"),
-            F.col("top_bigram"),
-            F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)).alias("top_bigram_frac"),
-        )
+    toks = src.select(
+        F.col(id_col), F.explode(F.concat(words_arr, bi_arr)).alias("tok")
+    )
+    counts = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    is_bg = F.col("tok").contains(_BG_TAG)
+    top = lambda cond: F.min(  # noqa: E731 — local plan shorthand
+        F.when(cond, F.struct((-F.col("cnt")).alias("nc"), F.col("tok").alias("t")))
+    )
+    agg = counts.groupBy(id_col).agg(
+        F.sum(F.when(~is_bg, F.col("cnt"))).alias("n_words"),
+        F.count(F.when(~is_bg, F.lit(1))).alias("n_distinct_words"),
+        top(~is_bg).alias("_tw"),
+        F.sum(F.when(is_bg, F.col("cnt"))).alias("_bg_total"),
+        top(is_bg).alias("_tb"),
+    )
+    return agg.select(
+        F.col(id_col),
+        "n_words",
+        "n_distinct_words",
+        F.round(1 - F.col("n_distinct_words") / F.col("n_words"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.col("_tw.t").alias("top_word"),
+        F.round(-F.col("_tw.nc") / F.col("n_words"), 6).alias("top_word_frac"),
+        F.replace(F.col("_tb.t"), F.lit(_BG_TAG), F.lit(" ")).alias("top_bigram"),
+        F.coalesce(
+            F.round(-F.col("_tb.nc") / F.col("_bg_total"), 6), F.lit(0.0)
+        ).alias("top_bigram_frac"),
     )

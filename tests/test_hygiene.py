@@ -145,3 +145,14 @@ def test_repetition_covers_every_doc(spark, docs):
     from scotty_window_processor_spark.plans.hygiene import repetition_signals
 
     assert repetition_signals(docs).count() == docs.count()
+
+
+def test_repetition_plan_one_scan_two_exchanges(spark, docs):
+    from scotty_window_processor_spark.plans.hygiene import repetition_signals
+
+    plan = repetition_signals(docs)._jdf.queryExecution().executedPlan().toString()
+    # words + bigrams ride one exploded frame: two hash exchanges total
+    # (token-grain count, doc-grain collapse), no per-doc window, no join
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Window" not in plan and "Join" not in plan
+    assert plan.count("Scan parquet") <= 1
