@@ -712,6 +712,20 @@ def q_global_shuffle(spark, sf_dir):
     )
 
 
+def q_transcript_audit(spark, sf_dir):
+    """Per-conversation ingestion-integrity audit (events as
+    transcripts: user_id plays conv_id, event_id the stable turn order,
+    event_type the role): timestamp inversions/duplicates, largest gap,
+    implied session count, same-role repeats — the validation pass that
+    certifies "stable turn ordering" before per-turn text equality can
+    be claimed downstream."""
+    from scotty_window_processor_spark.plans.relational import (
+        transcript_integrity_audit,
+    )
+
+    return transcript_integrity_audit(_events(spark, sf_dir))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from scotty_window_processor_spark.plans.similarity import cosine_topk_bruteforce
 
@@ -1738,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "repetition_signals": q_repetition_signals,
         "global_shuffle": q_global_shuffle,
+        "transcript_audit": q_transcript_audit,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_features": q_multimodal_features,
     }
@@ -2259,6 +2274,27 @@ SELECT ws.doc_id, n_words, n_distinct_words,
        top_bigram,
        coalesce(round(bc_top * 1.0 / bi_total, 6), 0.0) AS top_bigram_frac
 FROM ws LEFT JOIN bs USING (doc_id)
+"""
+
+
+_TRANSCRIPT_AUDIT = """
+WITH t AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
+         lag(epoch_ms(ts)) OVER w AS prev_ts,
+         lag(event_type) OVER w AS prev_kind
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_kinds,
+       CAST(max(ts_ms) - min(ts_ms) AS BIGINT) AS span_ms,
+       CAST(sum(CASE WHEN ts_ms - prev_ts < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ts_inversions,
+       CAST(sum(CASE WHEN ts_ms - prev_ts = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ts_dups,
+       CAST(max(CASE WHEN ts_ms - prev_ts > 0 THEN ts_ms - prev_ts END) AS BIGINT) AS max_gap_ms,
+       CAST(sum(CASE WHEN ts_ms - prev_ts > 1800000 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN event_type = prev_kind THEN 1 ELSE 0 END) AS BIGINT) AS n_kind_repeats
+FROM t GROUP BY user_id
 """
 
 
@@ -2847,6 +2883,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_scrub_sql(),
         "repetition_signals": _REPETITION_SIGNALS,
         "global_shuffle": _global_shuffle_sql(),
+        "transcript_audit": _TRANSCRIPT_AUDIT,
         "text_quality": _TEXT_QUALITY,
         "token_count": _TOKEN_COUNT,
         "language_id": _LANGUAGE_ID,
