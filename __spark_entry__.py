@@ -1463,6 +1463,31 @@ def q_cep_funnel(spark, sf_dir):
     )
 
 
+def q_stream_dedup_exact(spark, sf_dir):
+    """Streaming first-wins dedup on (user_id, event_type): Structured
+    Streaming's watermark-TTL'd dedup state replayed over the ts-ordered
+    range files, with the TTL spanning the whole stream so the kept set
+    equals the batch first-occurrence oracle (row_number() = 1 per key
+    by ts). State ∝ distinct keys in the horizon, not stream length."""
+    from scotty_window_processor_spark.streaming.dedup import stream_dedup_exact
+
+    def build(stream):
+        return stream_dedup_exact(stream, ["user_id", "event_type"], ts="ts")
+
+    def project(events):
+        return events.select("user_id", "ts", "event_type", "event_id")
+
+    return _replay_events_stream(
+        spark, sf_dir, windows=None, aggs=None,
+        select_cols=[
+            F.col("user_id"),
+            F.col("event_type"),
+            F.col("event_id").alias("first_event_id"),
+        ],
+        project=project, build=build,
+    )
+
+
 def q_stream_cep_funnel(spark, sf_dir):
     """Streaming replay of the same funnel through the stateful CEP
     operator (streaming/cep.py): per-key tail state carries partial
@@ -1730,6 +1755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_quantile_6h": q_stream_quantile_6h,
         "stream_payload_6h": q_stream_payload_6h,
         "cep_funnel": q_cep_funnel,
+        "stream_dedup_exact": q_stream_dedup_exact,
         "stream_cep_funnel": q_stream_cep_funnel,
         "cep_retry_funnel": q_cep_retry_funnel,
         "stream_cep_retry_funnel": q_stream_cep_retry_funnel,
@@ -2274,6 +2300,18 @@ SELECT ws.doc_id, n_words, n_distinct_words,
        top_bigram,
        coalesce(round(bc_top * 1.0 / bi_total, 6), 0.0) AS top_bigram_frac
 FROM ws LEFT JOIN bs USING (doc_id)
+"""
+
+
+_STREAM_DEDUP_EXACT = """
+SELECT user_id, event_type, event_id AS first_event_id
+FROM (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
 """
 
 
@@ -2903,6 +2941,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_quantile_6h": _QUANTILE_KERNEL,
         "stream_payload_6h": _PAYLOAD_KERNEL,
         "cep_funnel": _CEP_FUNNEL,
+        "stream_dedup_exact": _STREAM_DEDUP_EXACT,
         "stream_cep_funnel": _CEP_FUNNEL,
         "cep_retry_funnel": _CEP_RETRY_FUNNEL,
         "stream_cep_retry_funnel": _CEP_RETRY_FUNNEL,
