@@ -183,18 +183,28 @@ def repetition_signals(
     which would add a full sort + another exchange per token family."""
     src = spread(df)
     words_arr = F.split(normalized_text(F.col(text_col)), " ")
-    # adjacent (non-distinct) bigrams; empty array for single-word docs —
-    # sequence(1, 0) would count DOWN, so the size guard is load-bearing
-    bi_arr = F.when(F.size(words_arr) < 2, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(words_arr) - 1),
-            lambda i: F.concat_ws(
-                _BG_TAG, F.element_at(words_arr, i), F.element_at(words_arr, i + 1)
-            ),
+
+    def words_and_bigrams(words):
+        # adjacent (non-distinct) bigrams; empty array for single-word
+        # docs — sequence(1, 0) would count DOWN, so the size guard is
+        # load-bearing. ``words`` is the let_-bound lambda variable:
+        # referencing the raw split() expression here would re-inline it
+        # per bigram ELEMENT (CollapseProject; O(len²) splits per doc —
+        # measured ~2× end-to-end at sf1.0, same trap as plans/dedup.let_)
+        bi = F.when(F.size(words) < 2, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - 1),
+                lambda i: F.concat_ws(
+                    _BG_TAG, F.element_at(words, i), F.element_at(words, i + 1)
+                ),
+            )
         )
-    )
+        return F.concat(words, bi)
+
+    from .dedup import let_
+
     toks = src.select(
-        F.col(id_col), F.explode(F.concat(words_arr, bi_arr)).alias("tok")
+        F.col(id_col), F.explode(let_(words_arr, words_and_bigrams)).alias("tok")
     )
     counts = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
     is_bg = F.col("tok").contains(_BG_TAG)
