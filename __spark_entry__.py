@@ -477,6 +477,72 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup_simhash(_docs(spark, sf_dir), max_hamming=3)
 
 
+def q_dedup_cluster_canonical(spark, sf_dir):
+    """Transitive-closure dedup: fold the MinHash near-dup PAIRS into
+    per-doc cluster assignments (connected components, min-id canon) —
+    the "keep one doc per duplicate cluster" step a pair list alone
+    doesn't give you. Oracle: recursive min-label CTE over the identical
+    bit-exact pair SQL. The components loop runs Spark jobs at plan-build
+    time (label propagation + pointer jumping, localCheckpoint-bounded
+    lineage), same builder-executes pattern as the phased replay gates."""
+    from scotty_window_processor_spark.plans.dedup import (
+        dedup_cluster_canonical,
+        dedup_minhash_lsh,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup_minhash_lsh(docs, k=32, bands=8, verify_threshold=0.35).select(
+        "id_a", "id_b"
+    )
+    return dedup_cluster_canonical(docs, pairs)
+
+
+def q_asof_view_purchase(spark, sf_dir):
+    """Backward-inclusive as-of join: each purchase event picks the most
+    recent preceding view by the same user (point-in-time lookup). The
+    plan is union + ONE hash exchange on user_id + running last() — no
+    join node at all (see plans/asof.py scale notes). Views are first
+    deduped to one row per (user_id, ts) (max event_id wins) so the
+    match is deterministic; the oracle is DuckDB's native ASOF LEFT
+    JOIN, a genuinely independent implementation of the semantics.
+    No-match sentinels (-1 / epoch-0) follow the repo's coalesce-nulls
+    oracle convention."""
+    from scotty_window_processor_spark.plans.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("view_id"),
+            F.max_by("value", "event_id").alias("view_value"),
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    j = asof_join(
+        purchases, views, on=["user_id"], right_cols=["view_id", "view_value"]
+    )
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.coalesce("r_view_id", F.lit(-1)).alias("view_id"),
+        F.coalesce("r_ts", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")).alias(
+            "view_ts"
+        ),
+        # events ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the cast
+        # is UTC-stable (session tz pinned to UTC) and matches epoch_us
+        F.coalesce(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("r_ts").cast("timestamp")),
+            F.lit(-1),
+        ).alias("lag_us"),
+        F.coalesce(F.round("r_view_value", 6), F.lit(-1.0)).alias("view_value"),
+    )
+
+
 def q_text_quality(spark, sf_dir):
     from scotty_window_processor_spark.plans.text import quality_score
 
@@ -1740,6 +1806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_cluster_canonical": q_dedup_cluster_canonical,
+        "asof_view_purchase": q_asof_view_purchase,
         "text_quality": q_text_quality,
         "token_count": q_token_count,
         "language_id": q_language_id,
@@ -2885,6 +2953,55 @@ WHERE s.event_type = 'view' AND p.event_type = 'purchase'
 """
 
 
+def _cluster_canonical_sql() -> str:
+    """Connected components over the bit-exact MinHash pair SQL via a
+    recursive min-label CTE (reach(id, label): label is reachable from
+    id; min per id = component representative), then the same
+    assignment/size/canonical projection as plans.dedup."""
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_lsh_sql()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.id
+),
+cc AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+assigned AS (
+  SELECT d.doc_id, coalesce(cc.label, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM assigned GROUP BY cluster_id)
+SELECT a.doc_id, a.cluster_id, s.cluster_size,
+       CASE WHEN a.doc_id = a.cluster_id THEN 1 ELSE 0 END AS is_canonical
+FROM assigned a JOIN sizes s USING (cluster_id)
+"""
+
+
+_ASOF_VIEW_PURCHASE = """
+WITH views AS (
+  SELECT user_id, ts AS view_ts, max(event_id) AS view_id,
+         arg_max(value, event_id) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+), purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, p.purchase_ts,
+       coalesce(v.view_id, -1) AS view_id,
+       coalesce(v.view_ts, TIMESTAMP '1970-01-01') AS view_ts,
+       coalesce(epoch_us(p.purchase_ts) - epoch_us(v.view_ts), -1) AS lag_us,
+       coalesce(round(v.view_value, 6), -1.0) AS view_value
+FROM purchases p
+ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND p.purchase_ts >= v.view_ts
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tumbling_1h": _TUMBLING_1H,
@@ -2911,6 +3028,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _NGRAM_JACCARD,
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "dedup_simhash": _simhash_sql(),
+        "dedup_cluster_canonical": _cluster_canonical_sql(),
+        "asof_view_purchase": _ASOF_VIEW_PURCHASE,
         "dataset_split": _dataset_split_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "mixture_by_lang": _mixture_by_lang_sql(),

@@ -419,3 +419,112 @@ def dedup_simhash(
         .where(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected pair list → (id, label) with
+    label = the smallest node id in the component (deterministic canon).
+
+    Min-label propagation with POINTER JUMPING: each round (a) every node
+    takes the min of its own and its neighbours' labels (one join + one
+    min-aggregate), then (b) label := label(label) (one self-join) — the
+    union-find "halving" step that collapses label chains, so convergence
+    is O(log diameter) rounds, not O(diameter) (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14 — the same alternating
+    scheme GraphFrames uses). Near-dup clusters are near-cliques, so in
+    practice 2-3 rounds close sf-scale graphs.
+
+    Each round localCheckpoints the label frame: iterative self-joins
+    otherwise stack lineage exponentially and re-execute every prior
+    round per action. On a real cluster with dynamic executors use
+    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` instead
+    (localCheckpoint state dies with an executor); semantics identical.
+
+    Scale: shuffle bytes per round ≈ 2|E| + |V| longs on the id key; the
+    pair list from LSH dedup is sparse (|E| ≪ corpus rows), so the whole
+    loop is small next to the candidate-generation join that produced it.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(labels.withColumnRenamed("id", "b"), "b").select(
+            F.col("a").alias("id"), "label"
+        )
+        new = (
+            labels.select("id", "label")
+            .union(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer jump: label := label(label). Every label value is itself
+        # a node id (labels start as ids and min() only selects ids), so
+        # the self-join always hits; coalesce is belt-and-braces.
+        jump = new.select(F.col("id").alias("label"), F.col("label").alias("plabel"))
+        new = (
+            new.join(jump, "label", "left")
+            .select("id", F.coalesce("plabel", "label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.withColumnRenamed("label", "new_label")
+            .join(labels, "id")
+            .where(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "pointer jumping makes this O(log diameter); a non-convergent "
+            "input indicates label churn from a non-deterministic pair list"
+        )
+    return labels
+
+
+def dedup_cluster_canonical(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Cluster-level dedup canonicalization: fold a near-dup PAIR list into
+    per-doc cluster assignments — the step that turns "these two docs are
+    similar" into "keep exactly one doc per duplicate cluster".
+
+    Output: one row per corpus doc — (doc_id, cluster_id, cluster_size,
+    is_canonical) where cluster_id is the min doc id of the connected
+    component (docs in no pair are their own singleton cluster) and
+    is_canonical = 1 for the kept representative. Downstream keep-set =
+    WHERE is_canonical = 1; transitivity is the point: A~B, B~C drops
+    both B and C even when A~C was never emitted as a pair.
+
+    The components frame is tiny next to the corpus (only docs that
+    appear in a pair), so the assignment join is AQE-broadcastable; the
+    size join groups on cluster_id (bounded by corpus rows).
+    """
+    cc = connected_components(pairs)
+    assigned = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(cc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("label", F.col("doc_id")).alias("cluster_id"))
+    )
+    sizes = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return assigned.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        F.when(F.col("doc_id") == F.col("cluster_id"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_canonical"),
+    )
