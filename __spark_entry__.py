@@ -543,6 +543,69 @@ def q_asof_view_purchase(spark, sf_dir):
     )
 
 
+_ASOF_TOL_MS = 30 * 60 * 1000  # 30 min
+
+
+def q_asof_tolerance(spark, sf_dir):
+    """The tolerance_ms path of the as-of join: a match older than 30
+    minutes is treated as no-match (pandas.merge_asof(tolerance=...)
+    semantics). Same union+window plan as asof_view_purchase — the
+    tolerance is one post-hoc null-out projection, NOT a join-condition
+    change, so the shuffle shape is identical. Oracle: DuckDB native
+    ASOF LEFT JOIN with the staleness filter applied after the match
+    (the most recent row IS the closest, so nulling a stale best match
+    equals matching within tolerance)."""
+    from scotty_window_processor_spark.plans.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    j = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        right_cols=["view_id"],
+        tolerance_ms=_ASOF_TOL_MS,
+    )
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.coalesce("r_view_id", F.lit(-1)).alias("view_id"),
+        F.coalesce(
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            - F.unix_millis(F.col("r_ts").cast("timestamp")),
+            F.lit(-1),
+        ).alias("lag_ms"),
+    )
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup: documents with doc_id % 4 == 0 play the "new
+    ingest batch"; the rest are the "existing corpus", reduced to its
+    persisted signature index (id, sig) — the only corpus state touched.
+    The batch is shingled/hashed fresh, band-bucketed against the index,
+    and verified by MinHash signature agreement with an integer cut, so
+    the whole path (candidates AND estimate) is bit-exact vs the oracle's
+    identical sig CTEs. Pairs orient (new, corpus) or (new_lo, new_hi)."""
+    from scotty_window_processor_spark.plans.dedup import (
+        dedup_incremental,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark, sf_dir)
+    new = docs.where(F.col("doc_id") % _INCR_NEW_MOD == 0)
+    old = docs.where(F.col("doc_id") % _INCR_NEW_MOD != 0)
+    index = minhash_signatures(old, "doc_id", "text", k=32, n=3)
+    return dedup_incremental(new, index, k=32, bands=8, threshold=0.35)
+
+
 def q_text_quality(spark, sf_dir):
     from scotty_window_processor_spark.plans.text import quality_score
 
@@ -1807,7 +1870,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_cluster_canonical": q_dedup_cluster_canonical,
+        "dedup_incremental": q_dedup_incremental,
         "asof_view_purchase": q_asof_view_purchase,
+        "asof_tolerance": q_asof_tolerance,
         "text_quality": q_text_quality,
         "token_count": q_token_count,
         "language_id": q_language_id,
@@ -2512,29 +2577,23 @@ def _gram_chain_sql(arr: str, i: str, n: int, a: int, p: int) -> str:
     return x
 
 
-def _minhash_lsh_sql(k: int = 32, bands: int = 8, threshold: float = 0.35, n: int = 3) -> str:
-    """Full MinHash+LSH+verify pipeline in SQL with the same shingle-key
-    chains and (a,b) hash family constants as plans.dedup."""
+def _minhash_sig_ctes(k: int, n: int) -> str:
+    """The shared CTE chain computing per-doc MinHash signatures in SQL —
+    identical shingle-key chains and (a,b) hash family constants as
+    plans.dedup.minhash_signatures. Yields CTEs w/docs/expl/sig where
+    sig is (id, h0..h{k-1})."""
     from scotty_window_processor_spark.plans.dedup import CHAIN_A1, CHAIN_A2, PACK
     from scotty_window_processor_spark.plans.portable_hash import MINHASH_P, minhash_params
 
     params = minhash_params(k)
-    rows = k // bands
     mins = ",\n         ".join(
         f"min((hm * {a} + {b}) % {MINHASH_P}) AS h{i}" for i, (a, b) in enumerate(params)
-    )
-    band_selects = "\n  UNION ALL\n".join(
-        "  SELECT id, {b} AS band, concat_ws(',', {cols}) AS bucket FROM sig".format(
-            b=b, cols=", ".join(f"h{b * rows + r}" for r in range(rows))
-        )
-        for b in range(bands)
     )
     gram = (
         f"({_gram_chain_sql('wh', 'i', n, CHAIN_A1, MINHASH_P)}) * {PACK} "
         f"+ ({_gram_chain_sql('wh', 'i', n, CHAIN_A2, MINHASH_P)})"
     )
-    return f"""
-WITH w AS (
+    return f"""w AS (
   SELECT doc_id AS id,
          [{_md5_60_sql('x')} % {MINHASH_P}
           FOR x IN string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')] AS wh
@@ -2552,8 +2611,32 @@ WITH w AS (
   SELECT id,
          {mins}
   FROM expl GROUP BY id
-), bkt AS (
-{band_selects}
+)"""
+
+
+def _band_selects_sql(k: int, bands: int, src: str = "sig", extra: str = "") -> str:
+    """UNION ALL of one SELECT per band producing (id[, extra], band,
+    bucket) — the SQL twin of plans.dedup._band_buckets (bucket is the
+    comma-joined value string; the Spark side xxhash64s the same string,
+    collision structure identical)."""
+    rows = k // bands
+    return "\n  UNION ALL\n".join(
+        "  SELECT id, {extra}{b} AS band, concat_ws(',', {cols}) AS bucket FROM {src}".format(
+            b=b,
+            extra=extra,
+            src=src,
+            cols=", ".join(f"h{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+
+
+def _minhash_lsh_sql(k: int = 32, bands: int = 8, threshold: float = 0.35, n: int = 3) -> str:
+    """Full MinHash+LSH+verify pipeline in SQL with the same shingle-key
+    chains and (a,b) hash family constants as plans.dedup."""
+    return f"""
+WITH {_minhash_sig_ctes(k, n)}, bkt AS (
+{_band_selects_sql(k, bands)}
 ), cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM bkt a JOIN bkt b USING (band, bucket)
@@ -2953,6 +3036,59 @@ WHERE s.event_type = 'view' AND p.event_type = 'purchase'
 """
 
 
+_INCR_NEW_MOD = 4  # doc_id % 4 == 0 → "new batch", else "existing corpus"
+
+
+def _incremental_sql(k: int = 32, bands: int = 8, threshold: float = 0.35, n: int = 3) -> str:
+    """Oracle for q_dedup_incremental: identical signature CTEs, band
+    split, new/old orientation, and INTEGER agreement cut (matching
+    components >= ceil(threshold*k)) as plans.dedup.dedup_incremental."""
+    min_match = -(-int(threshold * k * 1_000_000) // 1_000_000)
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return f"""
+WITH {_minhash_sig_ctes(k, n)}, tagged AS (
+  SELECT *, CASE WHEN id % {_INCR_NEW_MOD} = 0 THEN 1 ELSE 0 END AS is_new FROM sig
+), bkt AS (
+{_band_selects_sql(k, bands, src="tagged", extra="is_new, ")}
+), cand AS (
+  SELECT DISTINCT a.id AS id_new, b.id AS id_match,
+         CASE WHEN b.is_new = 1 THEN 'batch' ELSE 'index' END AS match_src
+  FROM bkt a JOIN bkt b USING (band, bucket)
+  WHERE a.is_new = 1
+    AND (b.is_new = 0 OR a.id < b.id)
+), ver AS (
+  SELECT c.id_new, c.id_match, c.match_src,
+         ({agree}) AS mc
+  FROM cand c JOIN sig sa ON c.id_new = sa.id JOIN sig sb ON c.id_match = sb.id
+)
+SELECT id_new, id_match, match_src, round(mc * 1.0 / {k}, 6) AS est_jaccard
+FROM ver WHERE mc >= {min_match}
+"""
+
+
+_ASOF_TOLERANCE = f"""
+WITH views AS (
+  SELECT user_id, ts AS view_ts, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+), purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), matched AS (
+  SELECT p.purchase_id, p.user_id, p.purchase_ts, v.view_id,
+         epoch_ms(p.purchase_ts) - epoch_ms(v.view_ts) AS lag_ms
+  FROM purchases p
+  ASOF LEFT JOIN views v
+    ON p.user_id = v.user_id AND p.purchase_ts >= v.view_ts
+)
+SELECT purchase_id, user_id, purchase_ts,
+       CASE WHEN lag_ms <= {_ASOF_TOL_MS} THEN view_id ELSE -1 END AS view_id,
+       CASE WHEN lag_ms <= {_ASOF_TOL_MS} THEN lag_ms ELSE -1 END AS lag_ms
+FROM matched
+"""
+
+
 def _cluster_canonical_sql() -> str:
     """Connected components over the bit-exact MinHash pair SQL via a
     recursive min-label CTE (reach(id, label): label is reachable from
@@ -3029,7 +3165,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_cluster_canonical": _cluster_canonical_sql(),
+        "dedup_incremental": _incremental_sql(),
         "asof_view_purchase": _ASOF_VIEW_PURCHASE,
+        "asof_tolerance": _ASOF_TOLERANCE,
         "dataset_split": _dataset_split_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "mixture_by_lang": _mixture_by_lang_sql(),

@@ -50,56 +50,84 @@ def asof_join(
     right_cols: list[str] | None = None,
     tolerance_ms: int | None = None,
     right_prefix: str = "r_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward-inclusive as-of join (left.ts >= right.ts, most recent wins).
+    """As-of join: `direction="backward"` (default) attaches the most
+    recent right row with right.ts <= left.ts; `direction="forward"`
+    attaches the EARLIEST right row with right.ts >= left.ts (label
+    joins: "the next outcome after this event"). Both inclusive.
 
     Returns every `left` row (all its columns, original names) plus one
     `{right_prefix}{c}` column per entry of `right_cols` (default: every
     right column that is neither a key nor the right timestamp) and
-    `{right_prefix}{right_ts}` — all NULL when no right row precedes.
+    `{right_prefix}{right_ts}` — all NULL when no right row matches.
 
-    `tolerance_ms`: if set, a match older than this many milliseconds is
-    treated as no-match (nulls), like pandas.merge_asof(tolerance=...).
+    `tolerance_ms`: if set, a match farther than this many milliseconds
+    from the left timestamp is treated as no-match (nulls), like
+    pandas.merge_asof(tolerance=...).
 
-    Equal timestamps on both sides match (inclusive) — the right row
-    sorts first via the side tag, mirroring DuckDB/standard ASOF `>=`.
+    Equal timestamps on both sides match (inclusive) — the side tag
+    sorts the right row into the left row's window frame, mirroring
+    DuckDB/standard ASOF `>=` / `<=`. The plan is identical either way:
+    union + one exchange + one running window scan; forward just flips
+    the frame (first() over following) and the tie order.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     if right_cols is None:
         skip = set(on) | {right_ts}
         right_cols = [c for c in right.columns if c not in skip]
 
+    backward = direction == "backward"
+    # inclusive tie order: the right row must fall inside the left row's
+    # frame at equal ts — before it for backward, after it for forward
+    left_tag, right_tag = (1, 0) if backward else (0, 1)
     rpay = F.struct(
         F.col(right_ts).alias(right_ts), *[F.col(c).alias(c) for c in right_cols]
     )
     r = right.select(
         *on,
         F.col(right_ts).alias(_TS),
-        F.lit(0).alias(_SIDE),
+        F.lit(right_tag).alias(_SIDE),
         rpay.alias(_PAY),
         *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema.fields if f.name not in on],
     )
     l = left.select(
         *on,
         F.col(left_ts).alias(_TS),
-        F.lit(1).alias(_SIDE),
+        F.lit(left_tag).alias(_SIDE),
         F.lit(None).cast(dict(r.dtypes)[_PAY]).alias(_PAY),
         *[c for c in left.columns if c not in on],
     )
 
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(_TS, _SIDE)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if backward:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(_TS, _SIDE)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        running = F.last(_PAY, ignorenulls=True)
+    else:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(_TS, _SIDE)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        running = F.first(_PAY, ignorenulls=True)
     matched = (
         l.unionByName(r)
-        .withColumn(_PAY, F.last(_PAY, ignorenulls=True).over(w))
-        .where(F.col(_SIDE) == 1)
+        .withColumn(_PAY, running.over(w))
+        .where(F.col(_SIDE) == left_tag)
     )
     if tolerance_ms is not None:
-        in_tol = F.unix_millis(F.col(_TS)) - F.unix_millis(F.col(_PAY)[right_ts]) <= F.lit(
-            tolerance_ms
+        # cast before unix_millis: inputs may be TIMESTAMP_NTZ (parquet
+        # isAdjustedToUTC=false), which unix_millis rejects. Both sides
+        # cast through the same session timezone, so the DIFFERENCE is
+        # exact for any tz (both sides shift identically).
+        gap = F.unix_millis(F.col(_TS).cast("timestamp")) - F.unix_millis(
+            F.col(_PAY)[right_ts].cast("timestamp")
         )
+        in_tol = F.abs(gap) <= F.lit(tolerance_ms)
         matched = matched.withColumn(_PAY, F.when(in_tol, F.col(_PAY)))
 
     out = [F.col(c) for c in left.columns]

@@ -263,30 +263,16 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = 32, n
     return mins.select("id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"))
 
 
-def dedup_minhash_lsh(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 32,
-    bands: int = 8,
-    n: int = 3,
-    verify_threshold: float = 0.5,
-) -> DataFrame:
-    """MinHash + LSH banding near-dup candidates, verified by exact Jaccard.
-
-    bands × rows_per_band = k; a pair collides if any band's row-slice of
-    the signature matches exactly. The band bucket id is the shuffle key —
-    candidate generation never compares all pairs. Every hash is the
-    portable md5-60/mod-P family, so the full candidate+verify pipeline
-    has a bit-exact DuckDB oracle (see __spark_entry__._MINHASH_LSH)."""
+def _band_buckets(sigs: DataFrame, k: int, bands: int, extra: tuple[str, ...] = ()) -> DataFrame:
+    """(id, [extra...], band, bucket) — one row per (doc, band). The bucket
+    join key is xxhash64 of the band's value string — Spark-internal only
+    (both join sides use it identically; the oracle joins on its own band
+    strings, and any xx-collision-induced candidate must still pass the
+    downstream verify to reach the output)."""
     rows_per_band = k // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, n)
-    # the bucket join key is xxhash64 of the band's value string — Spark-
-    # internal only (both join sides use it identically; the oracle joins
-    # on its own band strings, and any xx-collision-induced candidate must
-    # still pass the exact-Jaccard verify to reach the output)
-    buckets = sigs.select(
+    return sigs.select(
         "id",
+        *extra,
         F.explode(
             F.array(
                 *[
@@ -306,7 +292,27 @@ def dedup_minhash_lsh(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    ).select("id", *extra, "bb.band", "bb.bucket")
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates, verified by exact Jaccard.
+
+    bands × rows_per_band = k; a pair collides if any band's row-slice of
+    the signature matches exactly. The band bucket id is the shuffle key —
+    candidate generation never compares all pairs. Every hash is the
+    portable md5-60/mod-P family, so the full candidate+verify pipeline
+    has a bit-exact DuckDB oracle (see __spark_entry__._MINHASH_LSH)."""
+    sigs = minhash_signatures(df, id_col, text_col, k, n)
+    buckets = _band_buckets(sigs, k, bands)
 
     a = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
     b = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
@@ -419,6 +425,99 @@ def dedup_simhash(
         .where(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Incremental dedup: match a NEW batch of docs against a persisted
+    signature INDEX of the existing corpus — the production dedup shape
+    at 100 TB, where a daily ingest is deduped against petabytes of
+    already-indexed corpus without re-shingling or re-LSHing any of it.
+
+    ``index_sigs`` is (id, sig array<long>) as produced by
+    ``minhash_signatures`` — ~`k`×8 bytes/doc, the only corpus state the
+    operator touches (store it partitioned/bucketed by a band key to
+    co-locate the join). Ids must be unique across index ∪ batch.
+
+    Output: one row per duplicate pair involving a new doc —
+    (id_new, id_match, match_src, est_jaccard) where match_src is
+    'index' (new vs corpus) or 'batch' (new vs earlier-in-batch,
+    oriented id_new < id_match). The keep-set for the ingest is the new
+    ids with no output row (anti-join), and emitted rows feed the same
+    ``dedup_cluster_canonical`` fold as the batch pipeline.
+
+    Verification uses SIGNATURE AGREEMENT — est_jaccard = matching
+    components / k, the standard unbiased MinHash Jaccard estimate —
+    because the index deliberately stores no shingles; the cut is the
+    integer ``matching >= ceil(threshold*k)`` so the whole pipeline
+    stays bit-exact against a SQL oracle (no float comparison).
+
+    Plan shape: signatures for the BATCH ONLY (the expensive shingle/
+    hash work is proportional to the ingest, not the corpus), one
+    explode to band buckets on both sides, one (band, bucket) equi-join
+    — new-side bucket rows are batch-sized, so AQE broadcasts them
+    against the index buckets — then a k-term zip_with agreement count
+    in one projection. Nothing rescans corpus text.
+    """
+    min_match = -(-int(threshold * k * 1_000_000) // 1_000_000)  # ceil, float-safe
+    new_sigs = minhash_signatures(new_docs, id_col, text_col, k, n)
+    tagged = new_sigs.withColumn("is_new", F.lit(1)).unionByName(
+        index_sigs.select("id", "sig").withColumn("is_new", F.lit(0))
+    )
+    buckets = _band_buckets(tagged, k, bands, extra=("is_new",))
+
+    a = buckets.select(
+        F.col("id").alias("id_new"), F.col("is_new").alias("new_a"), "band", "bucket"
+    ).where(F.col("new_a") == 1)
+    b = buckets.select(
+        F.col("id").alias("id_match"), F.col("is_new").alias("new_b"), "band", "bucket"
+    )
+    candidates = (
+        a.join(b, ["band", "bucket"])
+        .where(
+            (F.col("new_b") == 0)
+            | ((F.col("new_b") == 1) & (F.col("id_new") < F.col("id_match")))
+        )
+        .select(
+            "id_new",
+            "id_match",
+            F.when(F.col("new_b") == 1, F.lit("batch")).otherwise(F.lit("index")).alias(
+                "match_src"
+            ),
+        )
+        .distinct()
+    )
+
+    sigs_all = tagged.select("id", "sig")
+    return (
+        candidates.join(
+            sigs_all.withColumnRenamed("id", "id_new").withColumnRenamed("sig", "sig_a"),
+            "id_new",
+        )
+        .join(
+            sigs_all.withColumnRenamed("id", "id_match").withColumnRenamed("sig", "sig_b"),
+            "id_match",
+        )
+        .withColumn(
+            "match_comps",
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)),
+        )
+        .where(F.col("match_comps") >= F.lit(min_match))
+        .select(
+            "id_new",
+            "id_match",
+            "match_src",
+            F.round(F.col("match_comps") / F.lit(k), 6).alias("est_jaccard"),
+        )
+    )
 
 
 def connected_components(
