@@ -28,7 +28,10 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DATA = "/tmp/bench_transcripts"
+# override to run at a different input size WITHOUT clobbering the cached
+# default dataset (ensure_data early-returns on an existing dir — pair any
+# size change with a fresh dir)
+DATA = os.environ.get("SCALING_DATA_DIR", "/tmp/bench_transcripts")
 
 CHILD = r"""
 import json, os, sys, time
