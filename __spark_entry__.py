@@ -429,6 +429,17 @@ def q_revenue_by_nation(spark, sf_dir):
     )
 
 
+def q_revenue_cube(spark, sf_dir):
+    """CUBE(nation, order year): all four grouping sets in one hash
+    aggregate — one fact scan, one exchange (see plans.relational
+    .revenue_cube). Oracle: DuckDB native CUBE with the same sentinels."""
+    from scotty_window_processor_spark.plans.relational import load, revenue_cube
+
+    return revenue_cube(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer"), load(spark, sf_dir, "nation")
+    )
+
+
 def q_interval_join_1h(spark, sf_dir):
     _utc(spark)
     from scotty_window_processor_spark.plans.relational import interval_self_join
@@ -583,6 +594,53 @@ def q_asof_tolerance(spark, sf_dir):
             - F.unix_millis(F.col("r_ts").cast("timestamp")),
             F.lit(-1),
         ).alias("lag_ms"),
+    )
+
+
+def q_stream_asof_view_purchase(spark, sf_dir):
+    """Streaming replay of the as-of enrichment (streaming/asof.py):
+    views and purchases tagged onto one stream; per-key state is ONE
+    remembered right row + the out-of-order buffer, so an unbounded
+    backward as-of needs O(keys) state, not interval-join state. Rows
+    finalize in event-time order under the watermark, so the emitted
+    set equals the batch asof_join — gated against the SAME DuckDB
+    native ASOF JOIN oracle as the batch twin."""
+    from scotty_window_processor_spark.streaming.asof import asof_stream
+
+    def project(events):
+        side = (
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+            .when(F.col("event_type") == "view", F.lit(0))
+        )
+        return (
+            events.select("user_id", "ts", side.alias("side"), "event_id", "value")
+            .where(F.col("side").isNotNull())
+        )
+
+    def build(stream):
+        return asof_stream(
+            stream, key="user_id", ts="ts", side="side",
+            left_cols=["event_id"], right_cols=["event_id", "value"],
+            tiebreak="event_id",
+        )
+
+    return _replay_events_stream(
+        spark, sf_dir, windows=None, aggs=None,
+        select_cols=[
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").cast("timestamp_ntz").alias("purchase_ts"),
+            F.coalesce("r_event_id", F.lit(-1)).alias("view_id"),
+            F.coalesce(
+                F.col("r_ts").cast("timestamp_ntz"),
+                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+            ).alias("view_ts"),
+            F.coalesce(
+                F.unix_micros("ts") - F.unix_micros("r_ts"), F.lit(-1)
+            ).alias("lag_us"),
+            F.coalesce(F.round("r_value", 6), F.lit(-1.0)).alias("view_value"),
+        ],
+        value=None, project=project, build=build,
     )
 
 
@@ -1863,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_tumbling": q_salted_tumbling,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
+        "revenue_cube": q_revenue_cube,
         "interval_join_1h": q_interval_join_1h,
         "top_purchase_users": q_top_purchase_users,
         "dedup_exact": q_dedup_exact,
@@ -1873,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "asof_view_purchase": q_asof_view_purchase,
         "asof_tolerance": q_asof_tolerance,
+        "stream_asof_view_purchase": q_stream_asof_view_purchase,
         "text_quality": q_text_quality,
         "token_count": q_token_count,
         "language_id": q_language_id,
@@ -2131,6 +2191,16 @@ SELECT n_name,
 FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
+"""
+
+_REVENUE_CUBE = """
+SELECT coalesce(n_name, 'ALL') AS nation,
+       coalesce(year(o_orderdate), -1) AS o_year,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE (n_name, year(o_orderdate))
 """
 
 _INTERVAL_JOIN_1H = """
@@ -3158,6 +3228,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_tumbling": _TUMBLING_1H,
         "pricing_summary": _PRICING_SUMMARY,
         "revenue_by_nation": _REVENUE_BY_NATION,
+        "revenue_cube": _REVENUE_CUBE,
         "interval_join_1h": _INTERVAL_JOIN_1H,
         "top_purchase_users": _TOP_PURCHASE_USERS,
         "dedup_exact": _DEDUP_EXACT,
@@ -3168,6 +3239,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _incremental_sql(),
         "asof_view_purchase": _ASOF_VIEW_PURCHASE,
         "asof_tolerance": _ASOF_TOLERANCE,
+        "stream_asof_view_purchase": _ASOF_VIEW_PURCHASE,
         "dataset_split": _dataset_split_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "mixture_by_lang": _mixture_by_lang_sql(),

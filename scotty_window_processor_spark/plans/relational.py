@@ -51,6 +51,32 @@ def revenue_by_nation(orders: DataFrame, customer: DataFrame, nation: DataFrame)
     )
 
 
+def revenue_cube(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """Multi-dimensional rollup: revenue by CUBE(nation, order year) — all
+    four grouping sets ((n,y), (n), (y), ()) in ONE pass. Spark's cube()
+    expands grouping sets inside the same hash aggregate (map-side
+    partials per set, one exchange on the grouping-set id + keys), so the
+    fact table is scanned and shuffled once, not once per set. Subtotal
+    rows carry explicit sentinels ('ALL' / -1) instead of NULLs so the
+    output is unambiguous when a real group key could be NULL."""
+    return (
+        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .select("n_name", F.year("o_orderdate").alias("o_year"), "o_totalprice")
+        .cube("n_name", "o_year")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("o_year", F.lit(-1)).alias("o_year"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
 def interval_self_join(events: DataFrame, window_ms: int = 3_600_000) -> DataFrame:
     """For each error event, count same-user purchases within the next
     hour: the batch expression of a stream-stream interval join (both

@@ -99,11 +99,11 @@ def cpu_calibration() -> dict:
     return out
 
 
-def run_at(cpus: int, repeats: int) -> dict:
+def run_at(cpus: int, repeats: int, child_timeout: int = 2400) -> dict:
     env = dict(os.environ, CPUS=str(cpus), DATA=DATA, REPEATS=str(repeats))
     out = subprocess.run(
         [sys.executable, "-c", CHILD.replace("__REPO__", repr(REPO))],
-        env=env, capture_output=True, text=True, timeout=2400,
+        env=env, capture_output=True, text=True, timeout=child_timeout,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -133,12 +133,14 @@ def main():
     ap.add_argument("--low", type=int, default=4)
     ap.add_argument("--high", type=int, default=16)
     ap.add_argument("--repeats", type=int, default=4)
+    ap.add_argument("--child-timeout", type=int, default=2400,
+                    help="per-leg subprocess timeout sec; raise for big inputs")
     args = ap.parse_args()
 
     ensure_data(args.n_convs, args.turns_per_conv)
     calib = cpu_calibration()
-    low = run_at(args.low, args.repeats)
-    high = run_at(args.high, args.repeats)
+    low = run_at(args.low, args.repeats, args.child_timeout)
+    high = run_at(args.high, args.repeats, args.child_timeout)
     factor = args.high / args.low
     efficiency = (high["turns_per_sec"] / low["turns_per_sec"]) / factor
     hw_ceiling = min(1.0, (calib.get(args.high, factor) / calib.get(args.low, 1)) / factor)
