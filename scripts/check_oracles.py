@@ -40,6 +40,23 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # fail FAST on unknown names (and flag-style invocations like
+    # `--only a,b`): an only-set matching nothing would otherwise check
+    # zero queries and still print a vacuous "all checked queries match"
+    import __spark_entry__ as entrymod_check
+
+    registered = set(entrymod_check.queries())
+    unknown = only - registered
+    if unknown:
+        sys.exit(
+            f"unknown query name(s) {sorted(unknown)} — usage: "
+            f"check_oracles.py [sf_dir] [query ...] (positional, no flags); "
+            f"registered gates: {len(registered)}"
+        )
+    if not os.path.isdir(sf_dir):
+        sys.exit(f"sf_dir {sf_dir!r} is not a directory — usage: "
+                 f"check_oracles.py [sf_dir] [query ...]")
+
     from pyspark.sql import SparkSession
 
     spark = (
