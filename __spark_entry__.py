@@ -664,6 +664,22 @@ def q_dedup_incremental(spark, sf_dir):
     return dedup_incremental(new, index, k=32, bands=8, threshold=0.35)
 
 
+_CHUNK_W, _CHUNK_OV = 64, 16
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Per-doc overlapping context-window chunking (plans/chunk.py): one
+    narrow projection + one explode, NO shuffle — a pure map stage at any
+    scale. Every offset is integer arithmetic over the word count, so the
+    DuckDB oracle re-derives the exact layout (same normalized split
+    chain as the dedup oracles)."""
+    from scotty_window_processor_spark.plans.chunk import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_words=_CHUNK_W, overlap_words=_CHUNK_OV
+    )
+
+
 def q_text_quality(spark, sf_dir):
     from scotty_window_processor_spark.plans.text import quality_score
 
@@ -1933,6 +1949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_view_purchase": q_asof_view_purchase,
         "asof_tolerance": q_asof_tolerance,
         "stream_asof_view_purchase": q_stream_asof_view_purchase,
+        "chunk_documents": q_chunk_documents,
         "text_quality": q_text_quality,
         "token_count": q_token_count,
         "language_id": q_language_id,
@@ -3138,6 +3155,34 @@ FROM ver WHERE mc >= {min_match}
 """
 
 
+def _chunk_documents_sql(cw: int = _CHUNK_W, ov: int = _CHUNK_OV) -> str:
+    """Oracle for q_chunk_documents: identical normalized split, identical
+    integer ceil-div chunk count and offsets (DuckDB // is integer
+    division; list slicing is 1-based inclusive and clamps at len, same
+    as Spark's slice(start, length) on a shorter tail)."""
+    st = cw - ov
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+  FROM documents
+), m AS (
+  SELECT doc_id, words, len(words) AS n,
+         greatest(1, (len(words) - {ov} + {st - 1}) // {st}) AS n_chunks
+  FROM w
+), e AS (
+  SELECT doc_id, words, n, n_chunks,
+         unnest(range(n_chunks)) AS chunk_idx
+  FROM m
+)
+SELECT doc_id, chunk_idx, n_chunks,
+       chunk_idx * {st} AS chunk_start_word,
+       least({cw}, n - chunk_idx * {st}) AS chunk_n_words,
+       array_to_string(words[chunk_idx * {st} + 1 : chunk_idx * {st} + {cw}], ' ') AS chunk_text
+FROM e
+"""
+
+
 _ASOF_TOLERANCE = f"""
 WITH views AS (
   SELECT user_id, ts AS view_ts, max(event_id) AS view_id
@@ -3251,6 +3296,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": _REPETITION_SIGNALS,
         "global_shuffle": _global_shuffle_sql(),
         "transcript_audit": _TRANSCRIPT_AUDIT,
+        "chunk_documents": _chunk_documents_sql(),
         "text_quality": _TEXT_QUALITY,
         "token_count": _TOKEN_COUNT,
         "language_id": _LANGUAGE_ID,

@@ -38,7 +38,7 @@ from ..functions import (
     MinAggregation,
     SumAggregation,
 )
-from . import shuffle_partitions
+from . import adaptive_buckets
 from ..operators.kernel import SlicingWindowOperator
 from ..operators.windows import SessionWindow, SlidingWindow, TumblingWindow, Window, WindowMeasure
 
@@ -198,7 +198,10 @@ def scotty_window_aggregate(
     if value is not None:
         # column-prune before the shuffle: payload columns never cross Arrow
         df = df.select(*dict.fromkeys([key, ts, value] + ([arrival_order] if arrival_order else [])))
-    n_buckets = shuffle_partitions(df.sparkSession)
+    # task size ≈ one Arrow batch (plans.adaptive_buckets) — the kernel
+    # stage is CPU-bound Python, so shuffle.partitions-sized buckets
+    # serialize it on big inputs (measured 2.4× on the flagship)
+    n_buckets = adaptive_buckets(df)
     # explicit repartition(num, col) pins the bucket shuffle: its
     # REPARTITION_BY_NUM origin is exempt from AQE partition coalescing,
     # which would otherwise size the CPU-bound Python kernel stage by

@@ -46,7 +46,7 @@ from ..functions import (
     MinAggregation,
     SumAggregation,
 )
-from . import shuffle_partitions
+from . import adaptive_buckets
 from ..operators.windows import SessionWindow, SlidingWindow, TumblingWindow, WindowMeasure
 
 
@@ -205,7 +205,6 @@ def multikey_window_aggregate(
         ]
         + [T.StructField(name, T._parse_datatype_string(ddl), True) for name, ddl, _ in aggs]
     )
-    n_buckets = buckets or shuffle_partitions(df.sparkSession)
     window_defs = list(windows)
     agg_specs = list(aggs)
     agg_names = [name for name, _, _ in agg_specs]
@@ -261,8 +260,13 @@ def multikey_window_aggregate(
     # spill-safe) — the expensive ordering never happens in Python.
     needed = [key, ts, value] + ([arrival_order] if arrival_order else [])
     sort_cols = [key, ts] + ([arrival_order] if arrival_order else [])
+    pruned = df.select(*needed)
+    # task size ≈ one Arrow batch, NOT spark.sql.shuffle.partitions — the
+    # Arrow/numpy stage is CPU-bound, so undersized bucket counts serialize
+    # it (measured 2.4×, see plans.adaptive_buckets)
+    n_buckets = buckets or adaptive_buckets(pruned)
     prepared = (
-        df.select(*needed)
+        pruned
         .repartition(n_buckets, F.col(key))
         .sortWithinPartitions(*sort_cols)
     )
