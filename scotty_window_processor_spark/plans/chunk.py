@@ -65,7 +65,12 @@ def chunk_documents(
         "w",
         "n",
         "n_chunks",
-        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+        # outer ≡ inner: n_chunks >= 1 by the greatest() floor (NULL text
+        # included), so the sequence is never null/empty; the outer form
+        # keeps InferFiltersFromGenerate from re-evaluating the
+        # normalize+split chain in a pushed size()>0 filter (plans.dedup.
+        # minhash_signatures documents the trap)
+        F.explode_outer(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
     )
     start = F.col("chunk_idx") * F.lit(stride)
     return exploded.select(

@@ -74,6 +74,28 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def materialize(df: DataFrame) -> DataFrame:
+    """Cut the plan DAG by materializing ``df`` once (eager
+    ``localCheckpoint``) so that EVERY downstream consumer reads the
+    computed result instead of re-executing the producing subtree.
+
+    Why: Spark physical plans are trees, not DAGs — a DataFrame consumed
+    by two joins (e.g. the a/b sides of a candidate self-join, or a
+    signature table probed by both ends of a pair) is *recomputed per
+    consumer*, and ReuseExchange only kicks in when the exchanges are
+    byte-identical after canonicalization (the aliased a/b sides are
+    not). Measured on this repo's LSH pipeline: 4 full parquet scans +
+    4 md5-shingle passes for one dedup_minhash_lsh call (see
+    plans/r06/dedup_minhash_lsh_before.txt).
+
+    The materialized frames here are the SMALL intermediates (signatures
+    ≈ k×8 B/doc, candidate pairs, 8-byte simhashes) — never the corpus.
+    On a real cluster with dynamic executors, swap for
+    ``setCheckpointDir`` + ``.checkpoint()`` (localCheckpoint state dies
+    with an executor); same semantics, same plan shape."""
+    return df.localCheckpoint(eager=True)
+
+
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup groups: md5 over normalized text; keeps the min id as
     the canonical representative. Output: one row per distinct content,
@@ -206,12 +228,21 @@ def dedup_ngram_jaccard(
     ``max_shingle_df`` documents produces no candidate and is missed —
     this hits templated/boilerplate-heavy corpora hardest. Pass
     ``max_shingle_df=None`` for exact recall at small scale, or raise the
-    cap; the default favors the 100 TB plan shape over tail recall."""
-    docs = shingle_hash_docs(spread(df), id_col, text_col, n).withColumn(
-        "n_sh", F.size("shingles")
+    cap; the default favors the 100 TB plan shape over tail recall.
+
+    The (id, shingles, n_sh) table is materialized once (arrays of 8-byte
+    hashes): the hot-shingle aggregate and the a/b sides of the shingle
+    self-join otherwise each re-run the normalize + split + xxhash
+    shingling subtree (3 corpus passes → 1)."""
+    docs = materialize(
+        shingle_hash_docs(spread(df), id_col, text_col, n).withColumn(
+            "n_sh", F.size("shingles")
+        )
     )
 
-    exploded = docs.select("id", "n_sh", F.explode("shingles").alias("sh"))
+    # outer ≡ inner: shingle arrays are never null/empty (see
+    # minhash_signatures), and outer skips the inferred size()>0 filter
+    exploded = docs.select("id", "n_sh", F.explode_outer("shingles").alias("sh"))
     if max_shingle_df is not None:
         # anti-join against the HOT shingles only: the over-cap list is a
         # few rows (broadcast, no shuffle of the exploded side), vs an
@@ -247,11 +278,22 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = 32, n
 
     Plan shape: one md5 per distinct shingle at explode time, then k
     cheap modular transforms in one projection (whole-stage codegen) and
-    one hash aggregate of k mins per doc."""
+    one hash aggregate of k mins per doc.
+
+    The explode is ``explode_outer``: Catalyst's InferFiltersFromGenerate
+    rewrites a plain ``explode`` into Filter(size(arr) > 0 AND
+    isnotnull(arr)) + Generate, and because the shingle array is a
+    computed expression the pushed filter re-evaluates the whole md5 +
+    polynomial-chain tree TWICE more per row (measured 8.2 s vs 1.5 s at
+    sf1.0, 50 k docs — the guide-§4.4 duplicated-expression trap,
+    Catalyst-side). The rule skips outer generates, and outer ≡ inner
+    here because the shingle array is NEVER null or empty: grams() always
+    emits ≥ 1 element (greatest(…, 1) floor), including for NULL text
+    (the chain folds NULLs to the seed shingle, not to a NULL array)."""
     params = minhash_params(k)
     exploded = (
         portable_shingle_docs(spread(df), id_col, text_col, n)
-        .select("id", F.explode("shingles").alias("h"))
+        .select("id", F.explode_outer("shingles").alias("h"))
         .withColumn("hm", F.pmod(F.col("h"), F.lit(MINHASH_P)))
     )
     mins = exploded.groupBy("id").agg(
@@ -270,10 +312,14 @@ def _band_buckets(sigs: DataFrame, k: int, bands: int, extra: tuple[str, ...] = 
     strings, and any xx-collision-induced candidate must still pass the
     downstream verify to reach the output)."""
     rows_per_band = k // bands
+    # explode_outer: the band array is a non-empty literal array of
+    # non-null structs, so outer ≡ inner — and the outer form keeps
+    # InferFiltersFromGenerate from duplicating the per-band slice +
+    # xxhash chain into a pushed size()>0 filter (see minhash_signatures)
     return sigs.select(
         "id",
         *extra,
-        F.explode(
+        F.explode_outer(
             F.array(
                 *[
                     F.struct(
@@ -310,13 +356,21 @@ def dedup_minhash_lsh(
     the signature matches exactly. The band bucket id is the shuffle key —
     candidate generation never compares all pairs. Every hash is the
     portable md5-60/mod-P family, so the full candidate+verify pipeline
-    has a bit-exact DuckDB oracle (see __spark_entry__._MINHASH_LSH)."""
-    sigs = minhash_signatures(df, id_col, text_col, k, n)
+    has a bit-exact DuckDB oracle (see __spark_entry__._MINHASH_LSH).
+
+    Cost shape (r6): the signature table is materialized once (k×8 B/doc)
+    so the a/b self-join and the verify stage stop re-running the
+    md5-shingle pipeline per consumer (4 full corpus passes → 1, guide
+    §2.4 "remove shuffles/passes outright"), and the verify side shingles
+    only docs that appear in a candidate pair (broadcast semi-join prune,
+    guide §3.2) instead of shingling + broadcasting the whole corpus
+    twice."""
+    sigs = materialize(minhash_signatures(df, id_col, text_col, k, n))
     buckets = _band_buckets(sigs, k, bands)
 
     a = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
     b = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
-    candidates = (
+    candidates = materialize(
         a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
@@ -324,10 +378,18 @@ def dedup_minhash_lsh(
     )
 
     # verify candidates with exact Jaccard on the portable shingle-hash
-    # arrays. The candidate set is tiny relative to the corpus and
-    # Catalyst pushes the candidate-id join below the projection, so the
-    # shingle arrays are only (re)computed for candidate docs.
-    docs = portable_shingle_docs(df, id_col, text_col, n)
+    # arrays — computed ONLY for docs that occur in a candidate pair:
+    # the candidate id set is tiny and already materialized, so the
+    # semi-join broadcasts it and the filter lands before the shingle
+    # projection (shingling cost ∝ candidates, not corpus)
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    docs = portable_shingle_docs(
+        df.join(F.broadcast(cand_ids), id_col, "left_semi"), id_col, text_col, n
+    )
     verified = (
         candidates.join(docs.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(docs.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
@@ -355,10 +417,17 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     the shuffle). The md5 must be materialised in its own projection:
     referencing it from all 60 vote expressions would re-evaluate it 60×
     per word (no cross-expression CSE in codegen — measured 10×
-    end-to-end)."""
-    words = spread(df).select(
+    end-to-end).
+
+    explode_outer + an explicit NULL-text filter ≡ the plain explode
+    (split() of a non-null string is never null/empty; a NULL text makes
+    the array NULL, which inner explode drops — exactly what the cheap
+    column filter does) while keeping InferFiltersFromGenerate from
+    duplicating the normalize+split chain into a pushed filter (see
+    minhash_signatures)."""
+    words = spread(df).where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("word"),
+        F.explode_outer(F.split(normalized_text(F.col(text_col)), " ")).alias("word"),
     )
     hashed = words.select("id", md5_60(F.col("word")).alias("wh"))
     votes = hashed.groupBy("id").agg(
@@ -392,7 +461,11 @@ def dedup_simhash(
         )
     quarter_bits = SIMHASH_BITS // tables
     mask = (1 << quarter_bits) - 1
-    sims = simhash(df, id_col, text_col)
+    # materialize the (id, simhash) table (16 B/doc): the a/b sides of
+    # the bucket self-join otherwise each re-run the explode + md5 +
+    # 60-vote aggregate subtree (2 full corpus passes measured in
+    # plans/r06/dedup_simhash_before.txt)
+    sims = materialize(simhash(df, id_col, text_col))
     # one explode, not a unionAll of per-table selects: union branches each
     # re-run the whole 60-vote aggregate subplan (4 quarters × 2 join sides
     # = 8 recomputes; ~2× end-to-end measured), while the exploded form
@@ -400,7 +473,8 @@ def dedup_simhash(
     buckets = sims.select(
         "id",
         "simhash",
-        F.explode(
+        # outer ≡ inner: non-empty literal array (see _band_buckets)
+        F.explode_outer(
             F.array(
                 *[
                     F.struct(
@@ -469,8 +543,14 @@ def dedup_incremental(
     """
     min_match = -(-int(threshold * k * 1_000_000) // 1_000_000)  # ceil, float-safe
     new_sigs = minhash_signatures(new_docs, id_col, text_col, k, n)
-    tagged = new_sigs.withColumn("is_new", F.lit(1)).unionByName(
-        index_sigs.select("id", "sig").withColumn("is_new", F.lit(0))
+    # materialize the combined signature table (k×8 B/doc): it feeds the
+    # band-bucket explode AND both verify joins — without the cut, the
+    # batch shingling (and any non-materialized index subtree) re-runs
+    # once per consumer (4× measured at sf1.0)
+    tagged = materialize(
+        new_sigs.withColumn("is_new", F.lit(1)).unionByName(
+            index_sigs.select("id", "sig").withColumn("is_new", F.lit(0))
+        )
     )
     buckets = _band_buckets(tagged, k, bands, extra=("is_new",))
 

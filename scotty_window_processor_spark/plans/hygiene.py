@@ -53,9 +53,12 @@ def eval_shingle_set(eval_df: DataFrame, id_col: str, text_col: str, n: int = 3)
     broadcast side of ``decontaminate``. Benchmarks are tiny relative to
     a training corpus, so this set (8 bytes × distinct grams) fits in a
     broadcast even for very large eval suites."""
+    # explode_outer ≡ explode (shingle arrays are never null/empty — see
+    # plans.dedup.minhash_signatures) and keeps InferFiltersFromGenerate
+    # from duplicating the shingle-hash chain into a pushed size() filter
     return (
         shingle_hash_docs(eval_df, id_col, text_col, n)
-        .select(F.explode("shingles").alias("sh"))
+        .select(F.explode_outer("shingles").alias("sh"))
         .distinct()
     )
 
@@ -91,7 +94,8 @@ def decontaminate(
         "n_ngrams", F.size("shingles")
     )
     return (
-        docs.select("id", "n_ngrams", F.explode("shingles").alias("sh"))
+        # outer ≡ inner: non-null, non-empty shingle arrays (see above)
+        docs.select("id", "n_ngrams", F.explode_outer("shingles").alias("sh"))
         .join(F.broadcast(ev), "sh", "left")
         .groupBy("id", "n_ngrams")
         .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_matched"))
@@ -203,8 +207,14 @@ def repetition_signals(
 
     from .dedup import let_
 
-    toks = src.select(
-        F.col(id_col), F.explode(let_(words_arr, words_and_bigrams)).alias("tok")
+    # explode_outer + NULL-text filter ≡ plain explode: for non-null text
+    # the words⊕bigrams array has ≥ 1 element (split of any string is
+    # non-empty), for NULL text the array is NULL and inner explode drops
+    # the row — which the cheap column filter reproduces. Outer keeps
+    # InferFiltersFromGenerate from re-evaluating the whole bigram chain
+    # in a pushed size()>0 filter (guide §4.4 trap, Catalyst-side).
+    toks = src.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode_outer(let_(words_arr, words_and_bigrams)).alias("tok")
     )
     counts = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
     is_bg = F.col("tok").contains(_BG_TAG)

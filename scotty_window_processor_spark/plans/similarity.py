@@ -139,9 +139,15 @@ def signed_projection_buckets(
             out[:, t] = bits[:, t * ppt : (t + 1) * ppt] @ powers
         return pd.Series(list(out))
 
+    # posexplode_outer ≡ posexplode: the UDF returns a length-`tables`
+    # array for every input row, never null/empty. The outer form keeps
+    # InferFiltersFromGenerate from duplicating the Arrow-batched
+    # projection UDF into a pushed size()>0 filter — a plain posexplode
+    # here costs TWO ArrowEvalPython runs per consumer (filter + project,
+    # guide §4.4 trap), measured in plans/r06/embedding_near_dup_before.txt
     return df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(bucket_ids(F.col(vec_col).cast("array<double>"))).alias("tbl", "bucket"),
+        F.posexplode_outer(bucket_ids(F.col(vec_col).cast("array<double>"))).alias("tbl", "bucket"),
     )
 
 
@@ -211,8 +217,19 @@ def embedding_near_dup(
     region of embedding space is so dense that its members have many
     near-dups each, so the practical loss is which twin survives, not
     whether dup-mass is found. The cap is deterministic (a pure function
-    of the bucket assignment), so capped runs stay oracle-reproducible."""
-    buckets = signed_projection_buckets(df, id_col, vec_col, dim, planes_per_table, tables)
+    of the bucket assignment), so capped runs stay oracle-reproducible.
+
+    Cost shape (r6): the (id, tbl, bucket) assignment is materialized
+    once — the hot-bucket aggregate, the anti-join probe and the a/b
+    candidate sides otherwise each re-run the Arrow projection UDF (4
+    ArrowEvalPython nodes measured, plans/r06/embedding_near_dup_before
+    .txt); the exact-verify stage then computes vectors/norms only for
+    ids that occur in a candidate pair (broadcast semi-join prune)."""
+    from .dedup import materialize
+
+    buckets = materialize(
+        signed_projection_buckets(df, id_col, vec_col, dim, planes_per_table, tables)
+    )
     if max_bucket_size is not None:
         hot = (
             buckets.groupBy("tbl", "bucket")
@@ -223,7 +240,7 @@ def embedding_near_dup(
         buckets = buckets.join(F.broadcast(hot), ["tbl", "bucket"], "left_anti")
     a = buckets.withColumnRenamed("id", "id_a")
     b = buckets.withColumnRenamed("id", "id_b")
-    cand = (
+    cand = materialize(
         a.join(b, ["tbl", "bucket"]).where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
     )
     # per-ID norm precompute (N array folds) instead of per-PAIR (2 folds
@@ -231,7 +248,12 @@ def embedding_near_dup(
     # candidate pair and dominated the sf1.0 wall (measured: 2.6 of 3.9 s
     # on 1.47 M candidates); sqrt(fold) per id is the same arithmetic, so
     # the rounded cosine stays bit-identical to the oracle.
-    vecs = df.select(
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    vecs = df.join(F.broadcast(cand_ids), id_col, "left_semi").select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("nrm", _norm(F.col("v")))
     return (
@@ -349,7 +371,9 @@ def ann_cosine_ivf(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("qvec"),
         )
-        .withColumn("cid", F.explode(probe_centroids(F.col("qvec"))))
+        # outer ≡ inner: probe_centroids always returns n_probe ids; the
+        # outer form avoids a duplicated ArrowEvalPython (inferred filter)
+        .withColumn("cid", F.explode_outer(probe_centroids(F.col("qvec"))))
         .withColumn("qnorm", _norm(F.col("qvec")))
     )
     scored = (
