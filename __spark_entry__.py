@@ -95,12 +95,19 @@ def q_tumbling_1h(spark, sf_dir):
 
 
 def q_sliding_1h_15m(spark, sf_dir):
+    """Two-level sliding plan (r6): rows reduce once per 15-min bucket,
+    only bucket partials expand ×4 into the overlapping windows — same
+    emitted windows and aggregates as the one-level Expand plan (size
+    tiles the slide, so every window is a whole-bucket union; output
+    verified identical against the unchanged oracle at every SF).
+    Rounding applies at the final combine, like presplit_session_30m."""
     _utc(spark)
-    from scotty_window_processor_spark.plans.windowed import sliding_aggregate
+    from scotty_window_processor_spark.plans.windowed import sliding_aggregate_twolevel
 
-    return sliding_aggregate(
-        _events(spark, sf_dir), "user_id", "ts", "1 hour", "15 minutes",
-        {"n": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 2)},
+    return sliding_aggregate_twolevel(
+        _events(spark, sf_dir), "user_id", "ts", 3_600_000, 900_000,
+        partials={"n": F.count(F.lit(1)), "sum_value": F.sum("value")},
+        finals={"n": F.sum("n"), "sum_value": F.round(F.sum("sum_value"), 2)},
     )
 
 

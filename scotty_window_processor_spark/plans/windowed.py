@@ -64,6 +64,65 @@ def sliding_aggregate(df: DataFrame, key: str, ts: str, size: str, slide: str, a
     )
 
 
+def sliding_aggregate_twolevel(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    size_ms: int,
+    slide_ms: int,
+    partials: Dict[str, Column],
+    finals: Dict[str, Column],
+) -> DataFrame:
+    """Two-level sliding aggregation for ``size % slide == 0`` (the slice
+    property): rows are first reduced per (key, slide-grain tumbling
+    bucket) — ONE pass over the raw rows, map-side partial aggregation,
+    no row duplication — and only the ~rows/bucket-factor smaller bucket
+    partials are expanded into the size/slide overlapping windows and
+    combined (guide §2.3 "aggregate before you shuffle").
+
+    The plain ``sliding_aggregate`` expands every RAW row size/slide
+    times before the first aggregate (Catalyst Expand), so both the
+    expand work and the per-map-partition partial-aggregate hash table
+    scale with rows × overlap. Here they scale with rows (stage 1) +
+    buckets × overlap (stage 2) — the slicing argument from the
+    reference, expressed as two Catalyst aggregates.
+
+    Window membership is derived from the bucket exactly as F.window
+    does: a slide-grain bucket starting at b belongs to the windows
+    starting at b − i·slide for i in 0..size/slide−1 (size tiles the
+    slide, so every containing window is a whole-bucket union).
+    ``partials``/``finals`` follow the salted_window_aggregate contract
+    (count → partial count + final sum)."""
+    if size_ms % slide_ms != 0:
+        raise ValueError(
+            f"two-level sliding needs size % slide == 0 (got {size_ms} % {slide_ms})"
+        )
+    k = size_ms // slide_ms
+    b = F.window(F.col(ts), f"{slide_ms} milliseconds")
+    stage1 = df.groupBy(F.col(key), b.alias("b")).agg(
+        *[c.alias(n) for n, c in partials.items()]
+    )
+    # outer ≡ inner (non-empty literal-bounded sequence); avoids the
+    # InferFiltersFromGenerate duplicate-evaluation trap (plans.dedup)
+    expanded = stage1.select(
+        F.col(key),
+        (_epoch_ms(F.col("b.start"))).alias("_b_start"),
+        *[F.col(n) for n in partials],
+    ).withColumn("_i", F.explode_outer(F.sequence(F.lit(0), F.lit(int(k - 1)))))
+    w_start = F.col("_b_start") - F.col("_i") * F.lit(int(slide_ms))
+    return (
+        expanded.withColumn("w_start", w_start)
+        .groupBy(key, "w_start")
+        .agg(*[c.alias(n) for n, c in finals.items()])
+        .select(
+            F.col(key),
+            F.col("w_start"),
+            (F.col("w_start") + F.lit(int(size_ms))).alias("w_end"),
+            *[F.col(n) for n in finals],
+        )
+    )
+
+
 def session_aggregate(df: DataFrame, key: str, ts: str, gap: str, aggs: Dict[str, Column]) -> DataFrame:
     """Per-key gap sessions via the built-in session_window (merging
     aggregate); session end = last event ts + gap, matching the

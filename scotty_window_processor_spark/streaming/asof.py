@@ -164,6 +164,9 @@ def asof_stream(
         if rows:
             yield pd.DataFrame(rows, columns=out_names)
 
+    from .processor import apply_state_store_defaults
+
+    apply_state_store_defaults(stream.sparkSession)
     return (
         pruned.withWatermark(ts, watermark_delay)
         .groupBy(key)

@@ -383,6 +383,9 @@ def cep_stream_quantified(
         key, ts, steps, step_cols, within_ms, tiebreak,
         [f.name for f in fields], expansions, capture=capture,
     )
+    from .processor import apply_state_store_defaults
+
+    apply_state_store_defaults(stream_df.sparkSession)
     return (
         pruned.withWatermark(ts, watermark_delay)
         .groupBy(key)
@@ -597,6 +600,9 @@ def cep_stream_plus(
         key, ts, pre, plus, post, step_cols, within_ms, tiebreak, min_repeats,
         [f.name for f in fields],
     )
+    from .processor import apply_state_store_defaults
+
+    apply_state_store_defaults(stream_df.sparkSession)
     return (
         pruned.withWatermark(ts, watermark_delay)
         .groupBy(key)
@@ -631,6 +637,9 @@ def cep_stream(
         key, ts, steps, step_cols, within_ms, tiebreak, capture,
         [f.name for f in schema.fields],
     )
+    from .processor import apply_state_store_defaults
+
+    apply_state_store_defaults(stream_df.sparkSession)
     return (
         pruned.withWatermark(ts, watermark_delay)
         .groupBy(key)

@@ -46,4 +46,7 @@ def stream_dedup_exact(
     repo's range-file replay harness) makes that event-time order, which
     is what gives the operator a batch-SQL oracle (row_number() = 1 per
     key ordered by ts)."""
+    from .processor import apply_state_store_defaults
+
+    apply_state_store_defaults(stream.sparkSession)
     return stream.withWatermark(ts, delay).dropDuplicatesWithinWatermark(list(keys))

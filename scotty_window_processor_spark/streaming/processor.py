@@ -48,6 +48,23 @@ from ..operators.windows import Window, WindowMeasure
 
 STATE_SCHEMA = "kernel binary"  # pickle fallback (custom fns / count windows)
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def apply_state_store_defaults(spark) -> None:
+    """Engine default: the RocksDB state-store provider. It won every r5
+    measurement over the HDFS-backed default (BENCH/latency_floor.md:
+    p99 −23%, wall −11% on the flagship probe; the r4/r5 scaling runs
+    agree) because its per-batch commit writes a delta instead of the
+    full-file checkpoint. Applied at query-build time and ONLY when the
+    user has not picked a provider explicitly (conf unset), so
+    deployments that configure their own provider are untouched."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    if not spark.conf.get(key, None):
+        spark.conf.set(key, ROCKSDB_PROVIDER)
+
 AggSpec = Tuple[str, str, Callable[[], AggregateFunction]]
 
 _BULK_KINDS = {
@@ -324,6 +341,7 @@ def scotty_stream(
     (the reference's live addWindow, WindowManager.java:124-143), no
     restart or state loss; executors re-stat the file at most every
     `registry_poll_s` seconds."""
+    apply_state_store_defaults(stream_df.sparkSession)
     if value is not None:
         # column-prune BEFORE the state shuffle: in value mode the handler
         # reads only (key, ts, value), so payload columns (transcript text
