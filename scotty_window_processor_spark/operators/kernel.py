@@ -237,16 +237,30 @@ class Slice:
 
 
 class WindowResult:
-    """A triggered window instance plus its assembled aggregate."""
+    """A triggered window instance plus its assembled aggregate.
 
-    __slots__ = ("window_id", "start", "end", "measure", "agg_state")
+    ``agg_state`` is created LAZILY on the first slice merge: the
+    watermark trigger enumerates every grid instance in the horizon, and
+    on sparse keys most instances cover no slice at all (measured at
+    sf1.0: 1.76 M triggered vs 0.77 M non-empty for the 6 h tumbling
+    flush — an AggregateState alloc + two list builds apiece, ~15% of
+    kernel CPU, for windows that are dropped at emission)."""
+
+    __slots__ = ("window_id", "start", "end", "measure", "functions", "_agg_state")
 
     def __init__(self, window_id: int, start: int, end: int, measure: WindowMeasure, functions):
         self.window_id = window_id
         self.start = start
         self.end = end
         self.measure = measure
-        self.agg_state = AggregateState(functions)
+        self.functions = functions
+        self._agg_state = None
+
+    @property
+    def agg_state(self) -> "AggregateState":
+        if self._agg_state is None:
+            self._agg_state = AggregateState(self.functions)
+        return self._agg_state
 
     def contains_slice(self, s: Slice) -> bool:
         if self.measure == WindowMeasure.TIME:
@@ -255,7 +269,7 @@ class WindowResult:
 
     @property
     def has_value(self) -> bool:
-        return self.agg_state.has_values
+        return self._agg_state is not None and self._agg_state.has_values
 
     def agg_values(self) -> List[Any]:
         return self.agg_state.values()

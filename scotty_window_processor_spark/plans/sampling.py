@@ -191,29 +191,37 @@ def downsample_to_mixture(
     if any(v <= 0 for v in w_int.values()):
         raise ValueError(f"weights must each be >= 1/{DENOM}")
     scale_num = int(round(scale * DENOM))
-    spark = df.sparkSession
-    wdf = spark.createDataFrame(
-        [(g, v) for g, v in w_int.items()], [group_col, "_w_int"]
-    )
-    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_sz"))
-    # tiny DF (a row per group): feasible output size per group, global
-    # bottleneck via a broadcast of the single-row min — no window, no
-    # driver collect
-    rates = sizes.join(wdf, group_col).withColumn(
-        "_cand", F.expr(f"_sz * {DENOM} div _w_int")
-    )
-    nmax = rates.agg(F.min("_cand").alias("_nmax"))
-    thr = (
-        rates.crossJoin(F.broadcast(nmax))
-        .withColumn("_n2", F.expr(f"_nmax * {scale_num} div {DENOM}"))
-        .withColumn("_t", F.expr("_w_int * _n2 div _sz"))
-        .select(group_col, "_t")
-    )
-    return (
-        df.join(F.broadcast(thr), group_col)
-        .where(split_bucket(F.col(id_col), salt) < F.col("_t"))
-        .drop("_t")
-    )
+    # ONE tiny aggregation (a row per weighted group), collected: the
+    # threshold arithmetic is exact 64-bit integer math over ≤len(weights)
+    # rows, so computing it driver-side and inlining the result as a CASE
+    # literal replaces the previous sizes→rates→min→thresholds chain of
+    # THREE nested broadcast-exchange stages (each a sequential job at
+    # execution time) with one small agg job + one scan-with-filter.
+    # Python // equals Spark div on these non-negative operands, so
+    # membership is bit-identical (mixture_kept_sql pins the same values).
+    # Bounded by construction: the collect is one row per group named in
+    # ``weights`` — never corpus-sized.
+    sizes = {
+        r[0]: r[1]
+        for r in df.where(F.col(group_col).isin(list(w_int)))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .collect()
+    }
+    present = {g: w_int[g] for g in sizes}
+    if not sizes:
+        return df.where(F.lit(False))
+    nmax = min(sizes[g] * DENOM // present[g] for g in sizes)
+    n2 = nmax * scale_num // DENOM
+    thresholds = {g: present[g] * n2 // sizes[g] for g in sizes}
+    case = None
+    for g, t in thresholds.items():
+        arm = F.when(F.col(group_col) == F.lit(g), F.lit(t))
+        case = arm if case is None else case.when(F.col(group_col) == F.lit(g), F.lit(t))
+    thr = case.otherwise(F.lit(None).cast("long"))
+    # groups absent from ``weights`` (or NULL) hit the NULL arm and the
+    # comparison is never true — same drop the previous inner join did
+    return df.where(split_bucket(F.col(id_col), salt) < thr)
 
 
 def mixture_kept_sql(

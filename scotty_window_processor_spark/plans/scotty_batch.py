@@ -33,9 +33,11 @@ from pyspark.sql import types as T
 from ..functions import (
     AggregateFunction,
     CountAggregation,
+    HistogramQuantileAggregation,
     MaxAggregation,
     MeanAggregation,
     MinAggregation,
+    QuantileAggregation,
     SumAggregation,
 )
 from . import adaptive_buckets
@@ -265,6 +267,25 @@ def _catalyst_aggs(aggs: Sequence[AggSpec], value: str):
             expr = F.max(value)
         elif isinstance(fn, MeanAggregation):
             expr = F.avg(value)
+        elif isinstance(fn, QuantileAggregation) and not isinstance(
+            fn, HistogramQuantileAggregation
+        ):
+            # exact discrete quantile, pure JVM (guide §4: built-ins over
+            # Python): the kernel's lower() returns the smallest v whose
+            # cumulative count reaches max(1, ceil(q·total)) over the
+            # value→count histogram — which is exactly the 1-indexed
+            # element at that rank of the sorted value multiset. ceil is
+            # the same float64 op both sides; collect_list + array_sort
+            # shuffle the same rows the kernel tier would, minus the
+            # Python boundary. (HistogramQuantile stays kernel-only: its
+            # partial is the bounded-state sketch, the point of that gate.)
+            expr = F.try_element_at(
+                F.array_sort(F.collect_list(value)),
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.ceil(F.count(value) * F.lit(float(fn.q))),
+                ).cast("int"),
+            )
         else:
             return None
         out.append(expr.cast(ddl).alias(name))
