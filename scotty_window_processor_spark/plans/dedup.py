@@ -637,41 +637,71 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
-        nbr = edges.join(labels.withColumnRenamed("id", "b"), "b").select(
-            F.col("a").alias("id"), "label"
-        )
-        new = (
-            labels.select("id", "label")
-            .union(nbr)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-        )
-        # pointer jump: label := label(label). Every label value is itself
-        # a node id (labels start as ids and min() only selects ids), so
-        # the self-join always hits; coalesce is belt-and-braces.
-        jump = new.select(F.col("id").alias("label"), F.col("label").alias("plabel"))
-        new = (
-            new.join(jump, "label", "left")
-            .select("id", F.coalesce("plabel", "label").alias("label"))
-            .localCheckpoint()
-        )
-        changed = (
-            new.withColumnRenamed("label", "new_label")
-            .join(labels, "id")
-            .where(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds — "
-            "pointer jumping makes this O(log diameter); a non-convergent "
-            "input indicates label churn from a non-deterministic pair list"
-        )
+    # Scale the LOOP's shuffles to the edge list, not the session default:
+    # the pair list from LSH dedup is orders of magnitude smaller than the
+    # corpus (thousands of rows here vs a 64-partition session floor), and
+    # each round runs 2 joins + an aggregate + a convergence count — at
+    # the default width that is hundreds of near-empty tasks per round of
+    # pure scheduling overhead. Derived from the materialized edge count
+    # (~1 M edge-rows per partition, min 8), so a genuinely huge pair
+    # list keeps a wide shuffle; restored via finally.
+    spark = pairs.sparkSession
+    n_edges = edges.count()
+    loop_parts = str(int(min(max(8, n_edges // 1_000_000), 2048)))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_minp = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.minPartitionNum", None
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", loop_parts)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionNum", "1")
+    try:
+        for _ in range(max_iter):
+            nbr = edges.join(labels.withColumnRenamed("id", "b"), "b").select(
+                F.col("a").alias("id"), "label"
+            )
+            new = (
+                labels.select("id", "label")
+                .union(nbr)
+                .groupBy("id")
+                .agg(F.min("label").alias("label"))
+            )
+            # pointer jump: label := label(label). Every label value is itself
+            # a node id (labels start as ids and min() only selects ids), so
+            # the self-join always hits; coalesce is belt-and-braces.
+            jump = new.select(F.col("id").alias("label"), F.col("label").alias("plabel"))
+            new = (
+                new.join(jump, "label", "left")
+                .select("id", F.coalesce("plabel", "label").alias("label"))
+                .localCheckpoint()
+            )
+            changed = (
+                new.withColumnRenamed("label", "new_label")
+                .join(labels, "id")
+                .where(F.col("new_label") != F.col("label"))
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                break
+        else:
+            _raise_cc_nonconvergence(max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_minp is not None:
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.minPartitionNum", prev_minp
+            )
+        else:
+            spark.conf.unset("spark.sql.adaptive.coalescePartitions.minPartitionNum")
     return labels
+
+
+def _raise_cc_nonconvergence(max_iter: int):
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "pointer jumping makes this O(log diameter); a non-convergent "
+        "input indicates label churn from a non-deterministic pair list"
+    )
 
 
 def dedup_cluster_canonical(

@@ -200,7 +200,7 @@ def cosine_topk_lsh(
 def embedding_near_dup(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95,
     dim: int = 64, planes_per_table: int = 10, tables: int = 6,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = None, max_broadcast_bytes: int = 128 << 20,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH candidates + exact
     cosine verification.
@@ -248,6 +248,63 @@ def embedding_near_dup(
     # candidate pair and dominated the sf1.0 wall (measured: 2.6 of 3.9 s
     # on 1.47 M candidates); sqrt(fold) per id is the same arithmetic, so
     # the rounded cosine stays bit-identical to the oracle.
+    # Exact verify. Guide-§8 shape: every decision needs only (id_a, id_b,
+    # dot, na, nb) — 40 bytes per pair — yet the join formulation attaches
+    # BOTH full dim-double vectors to every candidate row (2×dim×8 B/pair
+    # across two shuffles) and folds the dot product per pair in the
+    # interpreted HOF evaluator (measured 3.3 s of the 6.5 s query at
+    # sf1.0, 1.47 M candidates). When the corpus vector matrix is small
+    # enough to broadcast (rows × dim × 8 B ≤ max_broadcast_bytes), ship
+    # ONLY the id pairs and compute dot + norms vectorized against the
+    # broadcast matrix — accumulating sequentially over the dim axis, so
+    # every float64 add/multiply happens in exactly the left-fold order of
+    # the F.aggregate formulation and the rounded cosine is bit-identical
+    # (same argument as signed_projection_buckets / ann_cosine_ivf).
+    # Division + round stay in Catalyst, unchanged. Corpora past the
+    # broadcast bound keep the join plan (the 100 TB-safe shape).
+    n_vecs = df.count()
+    if n_vecs * dim * 8 <= max_broadcast_bytes:
+        rows = df.select(
+            F.col(id_col).cast("long"), F.col(vec_col).cast("array<double>")
+        ).collect()
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        V = np.array([r[1] for r in rows], dtype=np.float64)
+        order = np.argsort(ids)
+        ids, V = ids[order], V[order].copy()
+        acc = np.zeros(len(ids), dtype=np.float64)
+        for k in range(V.shape[1]):  # sequential over dims: left-fold order
+            acc += V[:, k] * V[:, k]
+        nrm = np.sqrt(acc)
+        bc = df.sparkSession.sparkContext.broadcast((ids, V, nrm))
+
+        @F.pandas_udf("array<double>")
+        def pair_dot(ia: pd.Series, ib: pd.Series) -> pd.Series:
+            bids, bV, bnrm = bc.value
+            if not len(ia):
+                return pd.Series([], dtype=object)
+            xa = np.searchsorted(bids, ia.to_numpy())
+            xb = np.searchsorted(bids, ib.to_numpy())
+            A, B = bV[xa], bV[xb]
+            d = np.zeros(len(A), dtype=np.float64)
+            for k in range(A.shape[1]):  # left-fold order again
+                d += A[:, k] * B[:, k]
+            out = np.stack([d, bnrm[xa], bnrm[xb]], axis=1)
+            return pd.Series(list(out))
+
+        # nondeterministic marker (guide §4.4): the threshold filter below
+        # references the UDF output — without it the optimizer duplicates
+        # the UDF into a pushed filter (two ArrowEvalPython runs per pair)
+        dnn = pair_dot.asNondeterministic()(F.col("id_a"), F.col("id_b"))
+        scored = cand.withColumn("_d", dnn).withColumn(
+            "cos",
+            F.round(
+                F.element_at(F.col("_d"), 1)
+                / (F.element_at(F.col("_d"), 2) * F.element_at(F.col("_d"), 3)),
+                6,
+            ),
+        )
+        return scored.where(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
+
     cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
         .union(cand.select(F.col("id_b").alias(id_col)))
