@@ -1089,9 +1089,15 @@ def _write_range_files(df, ts, n_files, src, idx0):
     import tempfile
 
     tmp = tempfile.mkdtemp(prefix="scotty_gate_chunks_")
+    # secondary sort on event_id (when present): for ts-tied duplicates
+    # the row stream_dedup_exact keeps is otherwise arrival-order
+    # dependent, while the oracle breaks ties by (ts, event_id) — current
+    # testdata has no such ties, but the stable key removes the hazard at
+    # any scale factor (ADVICE r5)
+    sort_cols = [ts] + (["event_id"] if "event_id" in df.columns else [])
     (
         df.repartitionByRange(n_files, F.col(ts))
-        .sortWithinPartitions(ts)
+        .sortWithinPartitions(*sort_cols)
         .write.mode("overwrite").parquet(tmp)
     )
     mtime = 1_000_000_000

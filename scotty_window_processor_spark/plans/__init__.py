@@ -22,8 +22,13 @@ _BUCKET_CAP = 32768  # stage task-count ceiling; override via buckets=
 
 def adaptive_buckets(df) -> int:
     """Bucket count for the Python-tier shuffle, sized so each task carries
-    roughly ONE Arrow batch of rows (spark.sql.execution.arrow
-    .maxRecordsPerBatch) instead of inheriting spark.sql.shuffle.partitions.
+    roughly one TARGET UNIT of rows — max(spark.sql.execution.arrow
+    .maxRecordsPerBatch, 65536) — instead of inheriting
+    spark.sql.shuffle.partitions. Under a small maxRecordsPerBatch config
+    a task therefore carries SEVERAL Arrow batches (the 65536-row floor
+    is the real task-size target, keeping tiny-batch configs from
+    exploding the task count); at the bench's 262144-row batches it is
+    one batch per task.
 
     Why: the Python tiers are CPU/Arrow-bound, not shuffle-byte-bound —
     the right task size is ~one Arrow batch, far SMALLER than AQE's

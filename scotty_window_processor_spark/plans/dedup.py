@@ -412,12 +412,24 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     md5-60 (plans.portable_hash) keeps every bit reproducible in the
     DuckDB oracle; duplicate words vote with multiplicity on both sides.
 
-    Plan shape: explode(words) → ONE md5 per word in a projection →
-    60 conditional sums in one hash aggregate (map-side partials before
-    the shuffle). The md5 must be materialised in its own projection:
-    referencing it from all 60 vote expressions would re-evaluate it 60×
-    per word (no cross-expression CSE in codegen — measured 10×
+    Plan shape: explode(words) → ONE md5 per word in a projection → a
+    hash aggregate of PACKED bit counters (map-side partials before the
+    shuffle). The md5 must be materialised in its own projection:
+    referencing it from every vote expression would re-evaluate it per
+    bit per word (no cross-expression CSE in codegen — measured 10×
     end-to-end).
+
+    Packed counters (r6): instead of 60 ``sum(CASE …)`` aggregates — a
+    generated-code blob whose one-time janino compile measured ~2.3 s per
+    process — three 20-bit set-bit counters ride in each of 20 summed
+    longs (bit b = 3j+i lives in bits [20i, 20i+20) of p_j; summing longs
+    adds the counters in parallel). The vote sign is recovered exactly:
+    v_b = Σ±1 = 2·S_b − N, so bit b of the simhash is 1 iff
+    2·S_b − N > 0 — identical integer arithmetic to the unpacked form,
+    and the DuckDB oracle's per-bit vote reproduces it unchanged. A
+    20-bit counter saturates at 2^20 words per document; a raise_error
+    guard fails loudly far before silent corruption (docs that large
+    should be chunked upstream anyway).
 
     explode_outer + an explicit NULL-text filter ≡ the plain explode
     (split() of a non-null string is never null/empty; a NULL text makes
@@ -430,20 +442,42 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
         F.explode_outer(F.split(normalized_text(F.col(text_col)), " ")).alias("word"),
     )
     hashed = words.select("id", md5_60(F.col("word")).alias("wh"))
+    per_long = 3
+    width = 20
+    groups = -(-bits // per_long)
+    def packed(j):
+        terms = None
+        for i in range(per_long):
+            b = j * per_long + i
+            if b >= bits:
+                break
+            t = F.shiftright(F.col("wh"), b).bitwiseAND(F.lit(1)).cast("long") * F.lit(
+                1 << (width * i)
+            )
+            terms = t if terms is None else terms + t
+        return terms
+
     votes = hashed.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.col("wh").bitwiseAND(F.lit(1 << b)) != 0, F.lit(1)).otherwise(F.lit(-1))
-            ).alias(f"v{b}")
-            for b in range(bits)
-        ]
+        *[F.sum(packed(j)).alias(f"p{j}") for j in range(groups)],
+        F.count(F.lit(1)).alias("_nw"),
     )
+    mask = (1 << width) - 1
     sim = None
     for b in range(bits):
-        # disjoint bit positions: sum == bitwise OR
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0).cast("long"))
+        j, i = b // per_long, b % per_long
+        s_b = F.shiftright(F.col(f"p{j}"), width * i).bitwiseAND(F.lit(mask))
+        # v_b = 2*S_b - N; disjoint bit positions: sum == bitwise OR
+        bit = F.when(s_b * 2 - F.col("_nw") > 0, F.lit(1 << b)).otherwise(
+            F.lit(0).cast("long")
+        )
         sim = bit if sim is None else sim + bit
-    return votes.select("id", sim.alias("simhash"))
+    guard = F.when(
+        F.col("_nw") >= F.lit(1 << width),
+        F.raise_error(
+            F.lit("simhash packed counters saturate at 2^20 words per document")
+        ).cast("long"),
+    ).otherwise(sim)
+    return votes.select("id", guard.alias("simhash"))
 
 
 def dedup_simhash(

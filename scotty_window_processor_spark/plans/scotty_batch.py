@@ -104,17 +104,20 @@ def scotty_window_aggregate(
         prefer_catalyst = False
     # cost-based tier choice: the Catalyst tier fans out one
     # scan+shuffle+groupBy(F.window) subplan PER window family — the
-    # bucket-per-window pattern slicing exists to beat. Fine for 2-3
-    # concurrent windows (each subplan is whole-stage codegen), but past
-    # that the shared-shuffle vectorized tier (ONE exchange, every family
-    # reduced from the same sorted Arrow batches) wins and keeps winning
-    # as the window count grows (reference benchmark shape: 1-1000
-    # concurrent windows, random_tumbling_benchmark.json).
+    # bucket-per-window pattern slicing exists to beat. Fine for 1-2
+    # concurrent windows (each subplan is whole-stage codegen), but from
+    # 3 families on the shared-shuffle vectorized tier (ONE exchange,
+    # every family reduced from the same sorted Arrow batches) wins and
+    # keeps winning as the window count grows (reference benchmark shape:
+    # 1-1000 concurrent windows, random_tumbling_benchmark.json).
+    # Break-even re-measured in r6 on the 440k-turn transcripts shape:
+    # 3 families = 1.9/1.2 s (cold/warm) shared vs 3.6/1.9 s for the
+    # 3-subplan Catalyst union, so the cutover moved from >3 to >=3.
     if (
         prefer_catalyst
         and catalyst_exprs is not None
         and value is not None
-        and sum(1 for w in windows if w.measure == WindowMeasure.TIME) > 3
+        and sum(1 for w in windows if w.measure == WindowMeasure.TIME) >= 3
         and _fast_path_eligible(list(windows), list(aggs))
     ):
         prefer_catalyst = False
@@ -181,14 +184,30 @@ def scotty_window_aggregate(
         ts_all = pdf[ts].to_numpy().astype("datetime64[ms]").astype("int64")
         import numpy as np
 
+        # extract columns ONCE per bucket, slice per key group: per-group
+        # pandas .iloc + .tolist() paid one pandas dispatch + per-element
+        # boxing PER GROUP (15k key groups per sf1.0 pass) — bucket-level
+        # extraction boxes each value once and per-group list/array slices
+        # are plain pointer copies (r6; the value-mode slice is a
+        # zero-copy numpy view)
+        if value is not None:
+            vals_all = pdf[value].to_numpy()
+            cols_all = None
+        else:
+            vals_all = None
+            cols_all = {c: pdf[c].tolist() for c in pdf.columns}
+
         changes = np.nonzero(keys[1:] != keys[:-1])[0] + 1
         bounds = np.concatenate([[0], changes, [len(keys)]])
         outs = []
         for s, e in zip(bounds[:-1], bounds[1:]):
-            g = pdf.iloc[s:e]
             ts_ms = ts_all[s:e]
             final_wm = _final_watermark(int(ts_ms[-1]), window_defs, lateness_ms)
-            rows = _kernel_run(g, ts_ms, value, window_defs, agg_specs, lateness_ms, final_wm)
+            if value is not None:
+                data = vals_all[s:e]
+            else:
+                data = {c: v[s:e] for c, v in cols_all.items()}
+            rows = _kernel_run(data, ts_ms, value, window_defs, agg_specs, lateness_ms, final_wm)
             if rows:
                 out = pd.DataFrame(rows, columns=[f.name for f in out_schema.fields[1:]])
                 out.insert(0, key, keys[s])
@@ -369,7 +388,11 @@ def _bulk_lift_kinds(fns, value_mode: bool):
     return kinds
 
 
-def _kernel_run(pdf, ts_ms, value, windows, aggs, lateness_ms, final_wm):
+def _kernel_run(data, ts_ms, value, windows, aggs, lateness_ms, final_wm):
+    """One key group through the slicing kernel. ``data`` is the group's
+    pre-extracted payload — a numpy value slice in value mode, a dict of
+    column-list slices in record mode (extracted once per bucket by the
+    caller; see ``run``)."""
     op = SlicingWindowOperator(max_lateness=lateness_ms)
     fns = [factory() for _, _, factory in aggs]
     for fn in fns:
@@ -385,25 +408,23 @@ def _kernel_run(pdf, ts_ms, value, windows, aggs, lateness_ms, final_wm):
         # only touches slice-edge/session-break elements, every other
         # element is folded in by one segment lift per slice
         if value is not None:
-            op.process_in_order_bulk(pdf[value].to_numpy(), ts_ms, kinds)
+            op.process_in_order_bulk(data, ts_ms, kinds)
         else:
-            cols = {c: pdf[c].tolist() for c in pdf.columns}
-            names = list(cols)
+            names = list(data)
 
             def element_at(i):
-                return {c: cols[c][i] for c in names}
+                return {c: data[c][i] for c in names}
 
-            op.process_in_order_bulk(cols, ts_ms, kinds, element_at=element_at)
+            op.process_in_order_bulk(data, ts_ms, kinds, element_at=element_at)
     elif value is not None:
-        elements = pdf[value].to_numpy()
-        for element, t in zip(elements, ts_ms.tolist()):
+        for element, t in zip(data, ts_ms.tolist()):
             op.process_element(element, t)
     else:
         # dict records via zip of column lists — same rows as
         # pdf.to_dict("records") at ~3x less per-row overhead (no Series
         # boxing), and this IS the payload-aggregate hot loop's input
-        names = list(pdf.columns)
-        elements = [dict(zip(names, row)) for row in zip(*(pdf[c].tolist() for c in names))]
+        names = list(data)
+        elements = [dict(zip(names, row)) for row in zip(*(data[c] for c in names))]
         for element, t in zip(elements, ts_ms.tolist()):
             op.process_element(element, t)
     results = op.process_watermark(final_wm)
