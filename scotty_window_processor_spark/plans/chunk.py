@@ -4,11 +4,15 @@ overlap. Distinct from plans.packing (which concatenates docs ACROSS a
 shard into dense context blocks): chunking is per-row, preserves
 provenance (doc_id, word offset), and never crosses document boundaries.
 
-All Catalyst: one narrow projection + one posexplode — NO shuffle, NO
-Python, so chunking 100 TB is a pure map stage whose parallelism is the
-scan's. The chunk count and every offset are integer arithmetic over the
-word count, so any SQL engine re-derives the exact same layout row for
-row (the correctness gate's DuckDB oracle does).
+All Catalyst: one narrow projection + one posexplode — NO Python, and no
+shuffle at scale: chunking 100 TB is a pure map stage whose parallelism
+is the scan's. (On tiny inputs with fewer scan splits than cluster slots
+— the degenerate local case — ``spread`` inserts one repartition so the
+regex+split projection does not run single-task; at real scale it is a
+metadata no-op, see plans.dedup.spread.) The chunk count and every
+offset are integer arithmetic over the word count, so any SQL engine
+re-derives the exact same layout row for row (the correctness gate's
+DuckDB oracle does).
 
 Layout: chunks start at 0, stride, 2·stride, ... with
 stride = chunk_words − overlap_words; the count
@@ -22,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import normalized_text
+from .dedup import normalized_text, spread
 
 
 def chunk_documents(
@@ -42,7 +46,7 @@ def chunk_documents(
         )
     stride = chunk_words - overlap_words
     words = F.split(normalized_text(F.col(text_col)), " ")
-    base = df.select(
+    base = spread(df).select(
         F.col(id_col).alias("doc_id"),
         words.alias("w"),
     ).select(

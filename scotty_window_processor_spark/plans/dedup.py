@@ -99,9 +99,11 @@ def materialize(df: DataFrame) -> DataFrame:
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup groups: md5 over normalized text; keeps the min id as
     the canonical representative. Output: one row per distinct content,
-    with the duplicate count."""
+    with the duplicate count. spread(): the normalize+md5 projection
+    otherwise runs at the scan's parallelism (a single-row-group input is
+    ONE task)."""
     return (
-        df.select(F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("content_hash"))
+        spread(df).select(F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("content_hash"))
         .groupBy("content_hash")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dupes"))
     )

