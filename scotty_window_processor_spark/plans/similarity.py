@@ -240,9 +240,16 @@ def embedding_near_dup(
         buckets = buckets.join(F.broadcast(hot), ["tbl", "bucket"], "left_anti")
     a = buckets.withColumnRenamed("id", "id_a")
     b = buckets.withColumnRenamed("id", "id_b")
-    cand = materialize(
+    cand = (
         a.join(b, ["tbl", "bucket"]).where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
     )
+    n_vecs = df.count()
+    broadcast_verify = n_vecs * dim * 8 <= max_broadcast_bytes
+    if not broadcast_verify:
+        # the join-plan verify consumes the candidate list three times
+        # (both pair joins + the semi-join id set) — cut the DAG once;
+        # the broadcast path consumes it once and stays fully lazy
+        cand = materialize(cand)
     # per-ID norm precompute (N array folds) instead of per-PAIR (2 folds
     # per candidate): the exact-verify stage was 3 aggregate folds per
     # candidate pair and dominated the sf1.0 wall (measured: 2.6 of 3.9 s
@@ -262,8 +269,7 @@ def embedding_near_dup(
     # (same argument as signed_projection_buckets / ann_cosine_ivf).
     # Division + round stay in Catalyst, unchanged. Corpora past the
     # broadcast bound keep the join plan (the 100 TB-safe shape).
-    n_vecs = df.count()
-    if n_vecs * dim * 8 <= max_broadcast_bytes:
+    if broadcast_verify:
         rows = df.select(
             F.col(id_col).cast("long"), F.col(vec_col).cast("array<double>")
         ).collect()

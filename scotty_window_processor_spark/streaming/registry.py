@@ -100,8 +100,21 @@ def _write_versioned(path: str, windows: Sequence[Window], version: int) -> None
 
 def write_registry(path: str, windows: Sequence[Window]) -> None:
     """Atomically (tmp + rename) write the full window list, bumping the
-    embedded version counter past whatever version is on disk."""
-    _write_versioned(path, windows, _load_versioned(path)[0] + 1)
+    embedded version counter past whatever version is on disk.
+
+    Takes the same ``<path>.lock`` flock as ``registry_add_window``: a
+    full write racing a concurrent add would otherwise read-bump-replace
+    over the added window while producing a valid-looking version number,
+    making the lost update undetectable by the optimistic check
+    (r5 advice). Same single-host caveat as the add path."""
+    import fcntl
+
+    with open(f"{path}.lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            _write_versioned(path, windows, _load_versioned(path)[0] + 1)
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
 
 
 def registry_add_window(path: str, window: Window, retries: int = 8) -> None:
