@@ -43,10 +43,20 @@ class ExactlyOnceParquetSink:
         out_dir: str,
         partition_cols: list[str] | None = None,
         table_format: str = "parquet",
+        max_manifest_files: int = 4096,
     ):
         self.out_dir = out_dir
         self.partition_cols = partition_cols or []
         self.table_format = table_format
+        # per-file lineage detail cap (guide §5: the driver should not
+        # assemble unbounded collections): a pathological small-files
+        # batch would otherwise collect one row per data file into the
+        # driver manifest. Batch TOTALS are always computed server-side
+        # in one aggregate; the per-file list is truncated at this cap
+        # with an explicit files_total/files_listed marker. The
+        # exactly-once replay contract only uses path + rows, so a
+        # truncated manifest commits identically.
+        self.max_manifest_files = max_manifest_files
         self.lineage_dir = os.path.join(out_dir, "_lineage")
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -68,20 +78,28 @@ class ExactlyOnceParquetSink:
         # lineage at PARTITION granularity (north_rule): one row per
         # committed data file (= one write task partition), aggregated in a
         # single pass — the batch totals are the partition sums
-        parts = (
-            written.groupBy(F.input_file_name().alias("file"))
-            .agg(
-                F.count(F.lit(1)).alias("rows"),
-                F.min("w_start").alias("min_w_start"),
-                F.max("w_end").alias("max_w_end"),
-            )
-            .collect()
+        per_file = written.groupBy(F.input_file_name().alias("file")).agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min("w_start").alias("min_w_start"),
+            F.max("w_end").alias("max_w_end"),
         )
+        # batch totals roll up SERVER-side (one tiny row to the driver);
+        # the per-file detail is capped (see __init__)
+        tot = per_file.agg(
+            F.count(F.lit(1)).alias("files"),
+            F.sum("rows").alias("rows"),
+            F.min("min_w_start").alias("min_w_start"),
+            F.max("max_w_end").alias("max_w_end"),
+        ).collect()[0]
+        cap = self.max_manifest_files
+        parts = per_file.orderBy("file").limit(cap).collect()
         manifest = {
             "batch_id": batch_id,
-            "rows": sum(p["rows"] for p in parts),
-            "min_w_start": min((p["min_w_start"] for p in parts), default=None),
-            "max_w_end": max((p["max_w_end"] for p in parts), default=None),
+            "rows": tot["rows"] or 0,
+            "min_w_start": tot["min_w_start"],
+            "max_w_end": tot["max_w_end"],
+            "files_total": tot["files"],
+            "files_listed": len(parts),
             "partitions": [
                 {
                     # strip the batch directory prefix: file ids stay valid
@@ -91,7 +109,7 @@ class ExactlyOnceParquetSink:
                     "min_w_start": p["min_w_start"],
                     "max_w_end": p["max_w_end"],
                 }
-                for p in sorted(parts, key=lambda p: p["file"])
+                for p in parts
             ],
             "committed_at_ms": int(time.time() * 1000),
             "path": path,

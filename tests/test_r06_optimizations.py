@@ -183,3 +183,31 @@ def test_mixture_case_matches_oracle_sql(spark):
         ).fetchall()
     )
     assert kept == okept and 0 < len(kept) < 2000
+
+
+# --------------------------------------------------------------------------
+# sink manifest stays bounded on a many-files batch (guide §5: driver memory)
+
+
+def test_sink_manifest_bounded_on_many_files(spark, tmp_path):
+    from scotty_window_processor_spark.streaming.sink import ExactlyOnceParquetSink
+
+    out = str(tmp_path / "sink_out")
+    sink = ExactlyOnceParquetSink(out, max_manifest_files=5)
+    df = (
+        spark.range(200)
+        .select(
+            F.col("id").alias("user_id"),
+            (F.col("id") * 1000).alias("w_start"),
+            (F.col("id") * 1000 + 1000).alias("w_end"),
+        )
+        .repartition(20)  # many files in one batch
+    )
+    sink(df, batch_id=0)
+    m = sink.lineage()[0]
+    assert m["rows"] == 200
+    assert m["files_total"] >= 20 > 5 == m["files_listed"] == len(m["partitions"])
+    # totals are server-side rollups, independent of the truncated detail
+    assert m["min_w_start"] == 0 and m["max_w_end"] == 200 * 1000
+    # replay contract unchanged: committed data readable in full
+    assert sink.read_committed(spark).count() == 200
