@@ -99,11 +99,13 @@ def materialize(df: DataFrame) -> DataFrame:
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup groups: md5 over normalized text; keeps the min id as
     the canonical representative. Output: one row per distinct content,
-    with the duplicate count. spread(): the normalize+md5 projection
-    otherwise runs at the scan's parallelism (a single-row-group input is
-    ONE task)."""
+    with the duplicate count. (A spread() repartition was measured here
+    in r6 and reverted: one md5 per DOC is light enough that the
+    round-robin exchange + extra stage cost more than the serialized
+    scan-task projection saves — unlike the per-word/per-shingle chains
+    in the near-dup plans, which keep spread().)"""
     return (
-        spread(df).select(F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("content_hash"))
+        df.select(F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("content_hash"))
         .groupBy("content_hash")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dupes"))
     )
