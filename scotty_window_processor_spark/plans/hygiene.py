@@ -155,10 +155,16 @@ def pii_scrub(
 # repetition / boilerplate signals
 
 
-# tag prepended to bigram tokens so words and bigrams share ONE exploded
-# frame / ONE aggregation pipeline; normalized text (lower + collapsed
-# whitespace) can never contain a control byte, so the tag is unambiguous
-_BG_TAG = "\x01"
+# separator joining bigram tokens so words and bigrams share ONE exploded
+# frame / ONE aggregation pipeline. A space is unambiguous BY CONSTRUCTION:
+# word tokens come from split(text, " ") and therefore can never contain
+# one (a control-byte tag like \x01 was not — normalization collapses
+# whitespace but keeps control bytes, so a real-world word containing
+# \x01 would have been misclassified as a bigram; ADVICE r5). The space
+# separator also makes the bigram token byte-identical to the oracle's
+# space-joined bigram, so the min(struct(-cnt, tok)) lexicographic
+# tie-break matches the oracle's ORDER BY tok ASC on ANY input text.
+_BG_TAG = " "
 
 
 def repetition_signals(
@@ -237,7 +243,9 @@ def repetition_signals(
         ),
         F.col("_tw.t").alias("top_word"),
         F.round(-F.col("_tw.nc") / F.col("n_words"), 6).alias("top_word_frac"),
-        F.replace(F.col("_tb.t"), F.lit(_BG_TAG), F.lit(" ")).alias("top_bigram"),
+        # _BG_TAG is " ", so the stored token already IS the space-joined
+        # bigram — no separator rewrite needed on output
+        F.col("_tb.t").alias("top_bigram"),
         F.coalesce(
             F.round(-F.col("_tb.nc") / F.col("_bg_total"), 6), F.lit(0.0)
         ).alias("top_bigram_frac"),

@@ -53,34 +53,20 @@ def _out_schema(stream: DataFrame, key: str, ts: str, left_cols, right_cols) -> 
     return T.StructType(fields)
 
 
-def asof_stream(
-    stream: DataFrame,
-    key: str,
+def _make_handler(
     ts: str,
     side: str,
     left_cols: list[str],
     right_cols: list[str],
     tiebreak: str,
-    watermark_delay: str = "30 seconds",
-    right_ttl_ms: int | None = None,
-) -> DataFrame:
-    """`side` is an int column on the (single, pre-tagged) input stream:
-    1 = left (emit one enriched output row), 0 = right (update the key's
-    point-in-time state). Two physical streams union into this shape.
-
-    Output: (key, ts, *left_cols, r_{ts}, *r_{right_cols}) — the right
-    fields NULL when no right row precedes the left row.
-    """
-    cols = list(dict.fromkeys([key, ts, side, tiebreak, *left_cols, *right_cols]))
-    pruned = stream.select(*cols)
-    ts_is_ntz = isinstance(pruned.schema[ts].dataType, T.TimestampNTZType)
-    if ts_is_ntz:
-        # watermarks need TIMESTAMP; with the session tz pinned (UTC in
-        # this repo's sessions) the values are unchanged
-        pruned = pruned.withColumn(ts, F.col(ts).cast("timestamp"))
-    out_schema = _out_schema(pruned, key, ts, left_cols, right_cols)
-    out_names = [f.name for f in out_schema.fields]
-    buf_cols = [c for c in pruned.columns]
+    right_ttl_ms: int | None,
+    out_names: list[str],
+    buf_cols: list[str],
+):
+    """Build the applyInPandasWithState handler. Module-level (rather than
+    a closure inside asof_stream) so the microsecond finalization /
+    timer arithmetic is unit-testable against a fake GroupState without a
+    running streaming query (tests/test_stream_asof.py)."""
 
     def handler(key_tuple, pdfs, state):
         if state.exists:
@@ -98,8 +84,14 @@ def asof_stream(
         wm = state.getCurrentWatermarkMs()
         rows = []
         if buf is not None and len(buf):
-            ts_ms = buf[ts].to_numpy().astype("datetime64[ms]").astype("int64")
-            fin_mask = ts_ms <= wm
+            # microsecond-exact finalization (ADVICE r5): truncating to ms
+            # would finalize a row at X.5 ms once wm == X, before an
+            # equal-millisecond but later-microsecond row Spark still
+            # admits — ordering differently than the microsecond-exact
+            # batch oracle. Compare in us against wm*1000; ms-granular
+            # data is bit-identical to the old mask.
+            ts_us = buf[ts].to_numpy().astype("datetime64[us]").astype("int64")
+            fin_mask = ts_us <= wm * 1000
             if fin_mask.any():
                 fin = buf[fin_mask]
                 if last_r is not None:
@@ -135,15 +127,17 @@ def asof_stream(
                     buf = None
 
         has_buf = buf is not None and len(buf) > 0
-        last_r_ms = (
-            int(last_r[ts].to_numpy().astype("datetime64[ms]").astype("int64")[0])
+        # keep us precision internally; truncate only where the GroupState
+        # API requires ms (timers, and the ms-granular TTL comparison)
+        last_r_us = (
+            int(last_r[ts].to_numpy().astype("datetime64[us]").astype("int64")[0])
             if last_r is not None
             else None
         )
         expired = (
             not has_buf
             and right_ttl_ms is not None
-            and (last_r_ms is None or wm - last_r_ms > right_ttl_ms)
+            and (last_r_us is None or wm * 1000 - last_r_us > right_ttl_ms * 1000)
         )
         if (not has_buf and last_r is None) or expired:
             if state.exists:
@@ -152,17 +146,56 @@ def asof_stream(
             state.update((pickle.dumps((buf, last_r)),))
             if has_buf:
                 # flush wake-up: fire once the watermark passes the oldest
-                # pending row (pending ts > wm by construction)
-                nxt = int(buf[ts].to_numpy().astype("datetime64[ms]").astype("int64").min())
+                # pending row (pending ts_us > wm*1000 by construction).
+                # Ceil to ms so the timer never fires before the row is
+                # actually finalizable at us precision.
+                nxt_us = int(buf[ts].to_numpy().astype("datetime64[us]").astype("int64").min())
+                nxt = -(-nxt_us // 1000)
                 state.setTimeoutTimestamp(max(nxt, wm + 1))
             elif right_ttl_ms is not None:
-                state.setTimeoutTimestamp(max(last_r_ms + right_ttl_ms + 1, wm + 1))
+                ttl_at = -(-(last_r_us + right_ttl_ms * 1000) // 1000) + 1
+                state.setTimeoutTimestamp(max(ttl_at, wm + 1))
             # no timer otherwise: nothing pending to flush; the remembered
             # right row only matters when a new left arrives, which invokes
             # the handler anyway
 
         if rows:
             yield pd.DataFrame(rows, columns=out_names)
+
+    return handler
+
+
+def asof_stream(
+    stream: DataFrame,
+    key: str,
+    ts: str,
+    side: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    tiebreak: str,
+    watermark_delay: str = "30 seconds",
+    right_ttl_ms: int | None = None,
+) -> DataFrame:
+    """`side` is an int column on the (single, pre-tagged) input stream:
+    1 = left (emit one enriched output row), 0 = right (update the key's
+    point-in-time state). Two physical streams union into this shape.
+
+    Output: (key, ts, *left_cols, r_{ts}, *r_{right_cols}) — the right
+    fields NULL when no right row precedes the left row.
+    """
+    cols = list(dict.fromkeys([key, ts, side, tiebreak, *left_cols, *right_cols]))
+    pruned = stream.select(*cols)
+    ts_is_ntz = isinstance(pruned.schema[ts].dataType, T.TimestampNTZType)
+    if ts_is_ntz:
+        # watermarks need TIMESTAMP; with the session tz pinned (UTC in
+        # this repo's sessions) the values are unchanged
+        pruned = pruned.withColumn(ts, F.col(ts).cast("timestamp"))
+    out_schema = _out_schema(pruned, key, ts, left_cols, right_cols)
+    out_names = [f.name for f in out_schema.fields]
+    buf_cols = [c for c in pruned.columns]
+    handler = _make_handler(
+        ts, side, left_cols, right_cols, tiebreak, right_ttl_ms, out_names, buf_cols
+    )
 
     from .processor import apply_state_store_defaults
 

@@ -141,6 +141,24 @@ def test_repetition_metrics_hand_model(spark):
     assert r3["top_bigram_frac"] == 0.0
 
 
+def test_repetition_control_byte_word_stays_a_word(spark):
+    # ADVICE r5: normalization (lower+trim+collapse \s+) keeps control
+    # bytes, so a word containing \x01 must still be counted in the WORD
+    # family. The old \x01 bigram tag misclassified it as a bigram; the
+    # space separator is unambiguous by construction (words come from
+    # split on " ").
+    from scotty_window_processor_spark.plans.hygiene import repetition_signals
+
+    rows = [Row(doc_id=1, text="ab\x01cd ab\x01cd xy")]
+    r = repetition_signals(spark.createDataFrame(rows)).collect()[0]
+    assert r["n_words"] == 3 and r["n_distinct_words"] == 2
+    assert r["top_word"] == "ab\x01cd" and round(r["top_word_frac"], 6) == round(2 / 3, 6)
+    # bigrams "ab\x01cd ab\x01cd" / "ab\x01cd xy" tie at 1; lexicographic
+    # tie-break on the space-joined token, exactly as the oracle orders
+    assert r["top_bigram"] == "ab\x01cd ab\x01cd"
+    assert r["top_bigram_frac"] == 0.5
+
+
 def test_repetition_covers_every_doc(spark, docs):
     from scotty_window_processor_spark.plans.hygiene import repetition_signals
 

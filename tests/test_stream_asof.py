@@ -167,3 +167,92 @@ def test_right_ttl_expires_idle_state(spark, tmp_path):
         right_ttl_ms=DAY,
     )
     assert got[3] == (None, None)
+
+
+# ---------------------------------------------------------------------------
+# microsecond finalization (ADVICE r5) — handler-level, no streaming query
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _make_handler directly."""
+
+    def __init__(self):
+        self._v = None
+        self.wm = 0
+        self.timeout = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def getCurrentWatermarkMs(self):
+        return self.wm
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, t):
+        self.timeout = t
+
+
+def _mk_us_handler():
+    from scotty_window_processor_spark.streaming.asof import _make_handler
+
+    buf_cols = ["k", "ts", "side", "tb", "lv", "rv"]
+    out_names = ["k", "ts", "lv", "r_ts", "r_rv"]
+    return _make_handler("ts", "side", ["lv"], ["rv"], "tb", None, out_names, buf_cols)
+
+
+def _us_pdf(rows):
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["k", "ts", "side", "tb", "lv", "rv"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    return df
+
+
+def test_sub_ms_row_not_finalized_at_equal_ms_watermark():
+    # A left row at 10.000800s must NOT finalize while wm == 10000 ms:
+    # a right row at 10.000300s (equal millisecond, earlier microsecond)
+    # is still admissible and precedes it in the batch-oracle order. The
+    # old datetime64[ms] mask emitted the left in batch 1 with NULL right.
+    handler = _mk_us_handler()
+    st = _FakeState()
+
+    st.wm = 10_000
+    out = list(handler(("a",), [_us_pdf([("a", "1970-01-01 00:00:10.000800", 1, 1, 7.0, None)])], st))
+    assert out == []                       # buffered, nothing emitted
+    assert st.exists
+    assert st.timeout == 10_001            # ceil-to-ms flush timer
+
+    out = list(handler(("a",), [_us_pdf([("a", "1970-01-01 00:00:10.000300", 0, 1, None, 42.0)])], st))
+    assert out == []                       # still ahead of the watermark
+
+    st.wm = 10_001                         # watermark passes both
+    out = list(handler(("a",), [], st))
+    assert len(out) == 1 and len(out[0]) == 1
+    row = out[0].iloc[0]
+    assert row["lv"] == 7.0 and row["r_rv"] == 42.0
+    assert row["r_ts"].microsecond == 300
+
+
+def test_integral_ms_rows_finalize_exactly_as_before():
+    # ms-granular data: the us-exact mask is bit-identical to the old
+    # truncating mask — a row at exactly 10.000s finalizes at wm == 10000.
+    handler = _mk_us_handler()
+    st = _FakeState()
+    st.wm = 10_000
+    out = list(handler(("a",), [_us_pdf([
+        ("a", "1970-01-01 00:00:09.000", 0, 1, None, 5.0),
+        ("a", "1970-01-01 00:00:10.000", 1, 1, 3.0, None),
+    ])], st))
+    assert len(out) == 1 and len(out[0]) == 1
+    row = out[0].iloc[0]
+    assert row["lv"] == 3.0 and row["r_rv"] == 5.0
