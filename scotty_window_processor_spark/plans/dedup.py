@@ -693,15 +693,22 @@ def connected_components(
     spark.conf.set("spark.sql.shuffle.partitions", loop_parts)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionNum", "1")
     try:
+        label_t = labels.schema["label"].dataType
         for _ in range(max_iter):
             nbr = edges.join(labels.withColumnRenamed("id", "b"), "b").select(
                 F.col("a").alias("id"), "label"
             )
+            # own rows carry their round-start label as old_label (NULL on
+            # neighbour rows; min() ignores NULLs and every id has exactly
+            # one own row, so the agg recovers it) — the convergence check
+            # below then reads the CHECKPOINTED frame instead of joining
+            # new-vs-old labels, dropping one shuffle join + two exchanges
+            # per round (guide §2.1; same `changed` value by construction)
             new = (
-                labels.select("id", "label")
-                .union(nbr)
+                labels.select("id", "label", F.col("label").alias("old_label"))
+                .union(nbr.select("id", "label", F.lit(None).cast(label_t).alias("old_label")))
                 .groupBy("id")
-                .agg(F.min("label").alias("label"))
+                .agg(F.min("label").alias("label"), F.min("old_label").alias("old_label"))
             )
             # pointer jump: label := label(label). Every label value is itself
             # a node id (labels start as ids and min() only selects ids), so
@@ -709,16 +716,11 @@ def connected_components(
             jump = new.select(F.col("id").alias("label"), F.col("label").alias("plabel"))
             new = (
                 new.join(jump, "label", "left")
-                .select("id", F.coalesce("plabel", "label").alias("label"))
+                .select("id", F.coalesce("plabel", "label").alias("label"), "old_label")
                 .localCheckpoint()
             )
-            changed = (
-                new.withColumnRenamed("label", "new_label")
-                .join(labels, "id")
-                .where(F.col("new_label") != F.col("label"))
-                .count()
-            )
-            labels = new
+            changed = new.where(F.col("label") != F.col("old_label")).count()
+            labels = new.select("id", "label")
             if changed == 0:
                 break
         else:
